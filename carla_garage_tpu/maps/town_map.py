@@ -1,0 +1,132 @@
+"""Tensorized town maps.
+
+The reference ships pre-rasterized town layers as per-town ``.h5`` files
+(birdview_map.py:22-344; loaded in chauffeurnet.py:87-100) and queries road
+topology through the CARLA C++ OpenDRIVE map. Here the raster IS the map: a
+stacked uint8 layer tensor per town plus lane-graph polylines for NPC routing,
+queried on-device with pure gathers.
+
+Pixel convention (matches the reference h5 attrs): px = (world_xy -
+world_offset) * pixels_per_meter, row = py, col = px.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+class Layer:
+  """Raster channel indices."""
+  ROAD = 0
+  SIDEWALK = 1
+  LANE_MARKING_ALL = 2
+  LANE_MARKING_BROKEN = 3
+  STOPLINE = 4
+  JUNCTION = 5
+  NUM = 6
+
+
+@struct.dataclass
+class MapStack:
+  """A stack of town rasters padded to a common size.
+
+  layers [T,C,H,W] uint8 (0/255 occupancy), ppm [] float,
+  world_offset [T,2] float (meters of pixel (0,0)).
+  """
+  layers: jnp.ndarray
+  ppm: jnp.ndarray
+  world_offset: jnp.ndarray
+
+  def world_to_pixel(self, town_id: jnp.ndarray, xy: jnp.ndarray):
+    """xy [..,2] world meters -> float pixel coords [..,2] (px, py)."""
+    off = self.world_offset[town_id]          # [..,2] via broadcasting
+    return (xy - off) * self.ppm
+
+  def sample(self, town_id: jnp.ndarray, channel: int,
+             xy: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor occupancy sample. xy [..,2] -> bool [..].
+
+    Out-of-bounds samples return False. town_id broadcastable against xy[..,0].
+    """
+    p = self.world_to_pixel(town_id[..., None] if jnp.ndim(town_id) and
+                            jnp.ndim(town_id) < jnp.ndim(xy) - 1 else town_id,
+                            xy)
+    px = jnp.round(p[..., 0]).astype(jnp.int32)
+    py = jnp.round(p[..., 1]).astype(jnp.int32)
+    h, w = self.layers.shape[-2], self.layers.shape[-1]
+    inb = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+    pxc = jnp.clip(px, 0, w - 1)
+    pyc = jnp.clip(py, 0, h - 1)
+    val = self.layers[town_id, channel, pyc, pxc]
+    return jnp.where(inb, val > 0, False)
+
+
+def stack_towns(rasters: list[np.ndarray], offsets: list[np.ndarray],
+                ppm: float) -> MapStack:
+  """Pad per-town [C,H,W] rasters to a common size and stack to [T,C,H,W]."""
+  max_h = max(r.shape[1] for r in rasters)
+  max_w = max(r.shape[2] for r in rasters)
+  padded = np.zeros((len(rasters), rasters[0].shape[0], max_h, max_w),
+                    np.uint8)
+  for i, r in enumerate(rasters):
+    padded[i, :, :r.shape[1], :r.shape[2]] = r
+  return MapStack(layers=jnp.asarray(padded),
+                  ppm=jnp.float32(ppm),
+                  world_offset=jnp.asarray(np.stack(offsets), jnp.float32))
+
+
+@struct.dataclass
+class LaneGraph:
+  """NPC routing lanes as fixed-shape polylines.
+
+  points [N,P,2] padded polylines, num_valid [N], successor [N, MAX_SUCC]
+  int32 lane indices (-1 = none). The behavioral stand-in for the CARLA
+  TrafficManager's lane topology (route_scenario_local.py:445-494)."""
+  points: jnp.ndarray
+  num_valid: jnp.ndarray
+  successor: jnp.ndarray
+  seg_len: jnp.ndarray      # [N,P] distance between consecutive points
+  total_len: jnp.ndarray    # [N]
+
+  @staticmethod
+  def from_polylines(polys: list[np.ndarray],
+                     successors: list[list[int]],
+                     max_points: int = 256, max_succ: int = 4) -> "LaneGraph":
+    n = len(polys)
+    pts = np.zeros((n, max_points, 2), np.float32)
+    nv = np.zeros((n,), np.int32)
+    suc = -np.ones((n, max_succ), np.int32)
+    seg = np.zeros((n, max_points), np.float32)
+    tot = np.zeros((n,), np.float32)
+    for i, poly in enumerate(polys):
+      poly = np.asarray(poly, np.float32)[:max_points]
+      pts[i, :len(poly)] = poly
+      pts[i, len(poly):] = poly[-1]          # pad with the endpoint
+      nv[i] = len(poly)
+      seg[i, 1:len(poly)] = np.linalg.norm(np.diff(poly, axis=0), axis=-1)
+      tot[i] = seg[i].sum()
+      for j, s in enumerate(successors[i][:max_succ]):
+        suc[i, j] = s
+    return LaneGraph(points=jnp.asarray(pts), num_valid=jnp.asarray(nv),
+                     successor=jnp.asarray(suc), seg_len=jnp.asarray(seg),
+                     total_len=jnp.asarray(tot))
+
+  def position_at(self, lane_id: jnp.ndarray, t: jnp.ndarray):
+    """Interpolated (pos [..,2], yaw [..]) at arc-length t on lane lane_id."""
+    seg = self.seg_len[lane_id]                     # [..,P]
+    cum = jnp.cumsum(seg, -1)                       # arc length at each point
+    idx = jnp.sum((cum <= t[..., None]).astype(jnp.int32), -1)
+    idx = jnp.clip(idx, 1, self.points.shape[1] - 1)
+    p0 = jnp.take_along_axis(self.points[lane_id], (idx - 1)[..., None, None],
+                             -2)[..., 0, :]
+    p1 = jnp.take_along_axis(self.points[lane_id], idx[..., None, None],
+                             -2)[..., 0, :]
+    c0 = jnp.take_along_axis(cum, (idx - 1)[..., None], -1)[..., 0]
+    s = jnp.take_along_axis(seg, idx[..., None], -1)[..., 0]
+    frac = jnp.clip((t - c0) / jnp.maximum(s, 1e-6), 0.0, 1.0)
+    pos = p0 + (p1 - p0) * frac[..., None]
+    d = p1 - p0
+    yaw = jnp.arctan2(d[..., 1], d[..., 0])
+    return pos, yaw

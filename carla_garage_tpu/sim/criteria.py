@@ -1,0 +1,158 @@
+"""Per-tick infraction criteria — vectorized atomic_criteria_local.py.
+
+The reference evaluates infractions with py_trees criterion nodes attached to
+the scenario tree (atomic_criteria_local.py: Collision :300-437, RouteCompletion
+:1588-1693, OutsideRouteLanes :1040-1233, RunningRedLight :1696+, RunningStop
+:1883-2048, blocked :440, route deviation/timeout in route_scenario_local.py).
+Here every criterion is a masked per-tick array update over [B] episodes; the
+episode reduction to driving score happens in scoring.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from carla_garage_tpu.config import GlobalConfig
+from carla_garage_tpu.maps.town_map import Layer, MapStack
+from carla_garage_tpu.sim import geometry as geo
+from carla_garage_tpu.structs import (CriteriaState, LightState, Scene,
+                                      SimState)
+
+ROUTE_MATCH_DIST = 10.0   # waypoint pass distance (RouteCompletion WINDOWS)
+ROUTE_WINDOW = 64
+
+
+def criteria_reset(B: int, L: int, S: int) -> CriteriaState:
+  z_i = jnp.zeros((B,), jnp.int32)
+  z_b = jnp.zeros((B,), bool)
+  z_f = jnp.zeros((B,), jnp.float32)
+  return CriteriaState(
+      penalty=jnp.ones((B,), jnp.float32),
+      n_collision_vehicle=z_i, n_collision_walker=z_i, n_collision_static=z_i,
+      n_red_light=z_i, n_stop_sign=z_i,
+      route_completion=z_f, max_route_idx=z_i,
+      outside_lane_m=z_f, driven_m=z_f, blocked_ticks=z_i,
+      deviated=z_b, blocked=z_b, timed_out=z_b,
+      collision_cooldown=z_i,
+      red_light_cooldown=jnp.zeros((B, L), bool),
+      stop_pending=jnp.zeros((B, S), bool),
+      stop_done=jnp.zeros((B, S), bool))
+
+
+def criteria_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
+                  prev_pos: jnp.ndarray, state: SimState) -> CriteriaState:
+  """Update all criteria after the world advanced one tick."""
+  c = cfg.criteria
+  s = cfg.sim
+  cr = state.criteria
+  ego = state.ego
+  B = ego.yaw.shape[0]
+  ego_e = jnp.array([s.ego_extent_x, s.ego_extent_y])
+
+  step_m = jnp.linalg.norm(ego.pos - prev_pos, axis=-1)
+  driven_m = cr.driven_m + step_m
+
+  # --- route completion / deviation (atomic_criteria_local.py:1588-1693) ---
+  R = scene.route.points.shape[1]
+  w = jnp.arange(ROUTE_WINDOW)
+  q = jnp.clip(cr.max_route_idx[:, None] + w[None], 0, R - 1)     # [B,Wd]
+  wp = jnp.take_along_axis(scene.route.points, q[..., None], 1)   # [B,Wd,2]
+  d = jnp.linalg.norm(wp - ego.pos[:, None], -1)
+  in_route = q < scene.route.num_valid[:, None]
+  close = (d < ROUTE_MATCH_DIST) & in_route
+  best = jnp.max(jnp.where(close, w[None], -1), -1)               # [B]
+  new_idx = jnp.where(best >= 0, cr.max_route_idx + best,
+                      cr.max_route_idx)
+  seg = scene.route.seg_len                                       # [B,R]
+  mask_r = jnp.arange(R)[None] < scene.route.num_valid[:, None]
+  total_len = jnp.sum(jnp.where(mask_r, seg, 0.0), -1)
+  cum_mask = jnp.arange(R)[None] <= new_idx[:, None]
+  passed_len = jnp.sum(jnp.where(mask_r & cum_mask, seg, 0.0), -1)
+  completion = jnp.clip(passed_len / jnp.maximum(total_len, 1e-3), 0.0, 1.0)
+  at_end = new_idx >= (scene.route.num_valid - 2)
+  completion = jnp.where(at_end, 1.0, completion)
+  min_d = jnp.min(jnp.where(in_route, d, jnp.inf), -1)
+  deviated = cr.deviated | (min_d > c.route_deviation_m)
+
+  # --- outside route lanes (:1040-1233 — % of distance off drivable road) ---
+  on_road = maps.sample(scene.town_id[:, None], Layer.ROAD,
+                        ego.pos[:, None])[:, 0]
+  outside_lane_m = cr.outside_lane_m + jnp.where(on_road, 0.0, step_m)
+
+  # --- collisions (Collision criterion :300-437, cooldown dedup) ---
+  veh, wlk = state.vehicles, state.walkers
+  col_v = jnp.any(geo.obb_intersect(
+      ego.pos[:, None], ego.yaw[:, None], ego_e[None, None],
+      veh.pos, veh.yaw, veh.extent) & veh.valid, -1)
+  col_w = jnp.any(geo.obb_intersect(
+      ego.pos[:, None], ego.yaw[:, None], ego_e[None, None],
+      wlk.pos, wlk.yaw, wlk.extent) & wlk.valid, -1)
+  corners = geo.box_corners(ego.pos, ego.yaw, ego_e[None])         # [B,4,2]
+  c_road = maps.sample(scene.town_id[:, None], Layer.ROAD, corners)
+  c_walk = maps.sample(scene.town_id[:, None], Layer.SIDEWALK, corners)
+  col_s = jnp.any(~(c_road | c_walk), -1)                          # off-map =
+  ready = cr.collision_cooldown <= 0                               # building
+  hit_w = col_w & ready
+  hit_v = col_v & ready & ~hit_w
+  hit_s = col_s & ready & ~hit_w & ~hit_v
+  any_hit = hit_w | hit_v | hit_s
+  cooldown_ticks = jnp.int32(c.collision_dedup_seconds * s.fps)
+  cooldown = jnp.where(any_hit, cooldown_ticks,
+                       jnp.maximum(cr.collision_cooldown - 1, 0))
+  penalty = cr.penalty
+  penalty *= jnp.where(hit_w, c.penalty_collision_pedestrian, 1.0)
+  penalty *= jnp.where(hit_v, c.penalty_collision_vehicle, 1.0)
+  penalty *= jnp.where(hit_s, c.penalty_collision_static, 1.0)
+
+  # --- running a red light (:1696+, latch per stop-line entry) ---
+  lights = scene.lights
+  lstate = lights.state_at(state.time_s)
+  inside = geo.obb_intersect(
+      ego.pos[:, None], ego.yaw[:, None], ego_e[None, None],
+      lights.pos, lights.yaw, lights.extent) & lights.valid
+  red_run = inside & (lstate == LightState.RED) & ~cr.red_light_cooldown
+  n_red_new = jnp.sum(red_run, -1).astype(jnp.int32)
+  penalty *= jnp.power(c.penalty_traffic_light, n_red_new.astype(jnp.float32))
+  red_latch = inside  # latched while inside; re-arm on exit
+
+  # --- stop signs (:1883-2048): must reach ~0 speed inside the trigger ---
+  stops = scene.stops
+  in_stop = geo.obb_intersect(
+      ego.pos[:, None], ego.yaw[:, None], ego_e[None, None],
+      stops.pos, stops.yaw, stops.extent) & stops.valid
+  stopped = ego.speed < c.blocked_speed_threshold
+  satisfied = cr.stop_pending & in_stop & stopped[:, None]
+  violated = cr.stop_pending & ~in_stop                 # left without stopping
+  stop_done = cr.stop_done | satisfied | violated
+  stop_pending = (cr.stop_pending | (in_stop & ~stop_done)) & in_stop
+  n_stop_new = jnp.sum(violated, -1).astype(jnp.int32)
+  penalty *= jnp.power(c.penalty_stop, n_stop_new.astype(jnp.float32))
+
+  # --- blocked / timeout (route_scenario_local.py:572-578, :52-53) ---
+  slow = ego.speed < c.blocked_speed_threshold
+  blocked_ticks = jnp.where(slow, cr.blocked_ticks + 1, 0)
+  blocked = cr.blocked | (blocked_ticks >
+                          jnp.int32(c.blocked_seconds * s.fps))
+  timed_out = cr.timed_out | (state.tick >= scene.timeout_ticks)
+
+  return CriteriaState(
+      penalty=penalty,
+      n_collision_vehicle=cr.n_collision_vehicle + hit_v.astype(jnp.int32),
+      n_collision_walker=cr.n_collision_walker + hit_w.astype(jnp.int32),
+      n_collision_static=cr.n_collision_static + hit_s.astype(jnp.int32),
+      n_red_light=cr.n_red_light + n_red_new,
+      n_stop_sign=cr.n_stop_sign + n_stop_new,
+      route_completion=jnp.maximum(cr.route_completion, completion),
+      max_route_idx=new_idx.astype(jnp.int32),
+      outside_lane_m=outside_lane_m, driven_m=driven_m,
+      blocked_ticks=blocked_ticks.astype(jnp.int32),
+      deviated=deviated, blocked=blocked, timed_out=timed_out,
+      collision_cooldown=cooldown.astype(jnp.int32),
+      red_light_cooldown=red_latch,
+      stop_pending=stop_pending, stop_done=stop_done)
+
+
+def episode_done(cfg: GlobalConfig, state: SimState) -> jnp.ndarray:
+  cr = state.criteria
+  completed = cr.route_completion >= cfg.criteria.min_route_completion
+  return completed | cr.blocked | cr.deviated | cr.timed_out

@@ -1,0 +1,91 @@
+"""Episode loop: the ScenarioManager tick loop as one jitted scan.
+
+The reference's hot loop (scenario_manager_local.py:138-186) crosses the
+client/CARLA-server process boundary 3×/tick at 20 Hz. Here one tick is one
+fused XLA step over the whole batch: expert/policy control → ego dynamics →
+NPC traffic → walkers → criteria; episodes that finish freeze in place
+(masking, not branching) so a whole benchmark runs as a single lax.scan.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from carla_garage_tpu.config import GlobalConfig
+from carla_garage_tpu.maps.town_map import LaneGraph, MapStack
+from carla_garage_tpu.sim.criteria import criteria_step, episode_done
+from carla_garage_tpu.sim.dynamics import bicycle_step
+from carla_garage_tpu.sim.expert import Control, expert_step
+from carla_garage_tpu.sim.traffic import traffic_step, walker_step
+from carla_garage_tpu.structs import Scene, SimState
+
+# Control policy signature: (cfg, maps, scene, state, rng) -> (Control, ExpertState)
+PolicyFn = Callable
+
+
+def freeze_done(done: jnp.ndarray, old, new):
+  """Keep `old` wherever the episode is done. done [B]; leaves [B,...]."""
+  def sel(o, n):
+    d = done.reshape(done.shape + (1,) * (n.ndim - 1))
+    return jnp.where(d, o, n)
+  return jax.tree.map(sel, old, new)
+
+
+def sim_step(cfg: GlobalConfig, maps: MapStack, lanes: LaneGraph,
+             scene: Scene, state: SimState,
+             policy: PolicyFn = expert_step) -> SimState:
+  """Advance the whole batch one tick."""
+  rng, rng_step = jax.random.split(state.rng)
+  control, new_expert = policy(cfg, maps, scene, state, rng_step)
+
+  # all agents advance simultaneously (world.tick semantics)
+  pos, yaw, speed = bicycle_step(state.ego.pos, state.ego.yaw,
+                                 state.ego.speed, control.steer,
+                                 control.throttle, control.brake, cfg.sim)
+  new_ego = state.ego.replace(pos=pos, yaw=yaw, speed=speed)
+  new_veh = traffic_step(cfg, lanes, scene, state)
+  new_wlk = walker_step(cfg, scene, state)
+
+  moved = state.replace(ego=new_ego, vehicles=new_veh, walkers=new_wlk,
+                        expert=new_expert, tick=state.tick + 1)
+  new_criteria = criteria_step(cfg, maps, scene, state.ego.pos, moved)
+  moved = moved.replace(criteria=new_criteria)
+  moved = moved.replace(done=state.done | episode_done(cfg, moved))
+
+  frozen = freeze_done(state.done, state, moved.replace(rng=state.rng))
+  return frozen.replace(rng=rng, done=moved.done)
+
+
+def rollout(cfg: GlobalConfig, maps: MapStack, lanes: LaneGraph,
+            scene: Scene, state: SimState, n_ticks: int,
+            policy: PolicyFn = expert_step) -> SimState:
+  """Run n_ticks of simulation as a lax.scan (jit-compatible)."""
+  def body(st, _):
+    return sim_step(cfg, maps, lanes, scene, st, policy), None
+  final, _ = jax.lax.scan(body, state, None, length=n_ticks)
+  return final
+
+
+def rollout_chunked(cfg: GlobalConfig, maps: MapStack, lanes: LaneGraph,
+                    scene: Scene, state: SimState, max_ticks: int,
+                    chunk: int = 256, policy: PolicyFn = expert_step
+                    ) -> SimState:
+  """Host-side chunked rollout with early exit once every episode is done.
+
+  Long routes need ~24k ticks (SURVEY.md §7 risks); a chunked while-loop
+  bounds compile time and skips tail work for finished batches.
+  """
+  @jax.jit
+  def run_chunk(scene_, state_):
+    return rollout(cfg, maps, lanes, scene_, state_, chunk, policy)
+
+  ticks = 0
+  while ticks < max_ticks:
+    state = run_chunk(scene, state)
+    ticks += chunk
+    if bool(jnp.all(state.done)):
+      break
+  return state

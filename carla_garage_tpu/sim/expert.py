@@ -1,0 +1,381 @@
+"""Vectorized privileged expert — the reference AutoPilot as one XLA program.
+
+Re-design of team_code/autopilot.py:30-1159 ("_get_control" §3.3 of
+SURVEY.md): all hazard forecasting (closed-loop ego rollout, constant-action
+vehicle rollouts, linear walker rollouts), OBB intersection tests, Bremsweg
+emergency-brake box, traffic-light and stop-sign trigger logic, and the
+PID controllers run batched over [B] episodes, with rollouts as lax.scan over
+future frames. One call = one control for every episode in the batch.
+
+Differences from the reference, by design:
+  * Python-object loops over actors -> masked [B,V]/[B,W] array ops.
+  * The reference's half-box lateral-offset quirk (autopilot.py:859-876 uses
+    extent.y*sin for the longitudinal shift) is fixed to a true forward shift.
+  * steer is not rounded to 3 decimals (autopilot.py:446) — pure fp32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from carla_garage_tpu.config import GlobalConfig
+from carla_garage_tpu.maps.town_map import Layer, MapStack
+from carla_garage_tpu.sim import geometry as geo
+from carla_garage_tpu.sim.dynamics import bicycle_step
+from carla_garage_tpu.sim.pid import PIDParams, pid_step
+from carla_garage_tpu.sim.route_planner import (PlannerParams, planner_step,
+                                                route_lookup)
+from carla_garage_tpu.structs import (Cmd, ExpertState, LightState, PIDState,
+                                      PlannerState, Scene, SimState)
+
+
+@struct.dataclass
+class Control:
+  steer: jnp.ndarray     # [B]
+  throttle: jnp.ndarray  # [B]
+  brake: jnp.ndarray     # [B]
+
+
+def _turn_params(cfg: GlobalConfig) -> PIDParams:
+  e = cfg.expert
+  return PIDParams(e.turn_kp, e.turn_ki, e.turn_kd, e.turn_n)
+
+
+def _speed_params(cfg: GlobalConfig) -> PIDParams:
+  e = cfg.expert
+  return PIDParams(e.speed_kp, e.speed_ki, e.speed_kd, e.speed_n)
+
+
+def _dense_planner_params(cfg: GlobalConfig) -> PlannerParams:
+  e = cfg.expert
+  return PlannerParams(e.dense_route_planner_min_distance,
+                       e.dense_route_planner_max_distance,
+                       cfg.sim.route_window)
+
+
+def _sparse_planner_params(cfg: GlobalConfig) -> PlannerParams:
+  e = cfg.expert
+  return PlannerParams(e.route_planner_min_distance,
+                       e.route_planner_max_distance,
+                       cfg.sim.route_window)
+
+
+def _pid_throttle(pid_state: PIDState, target_speed, speed, brake, is_last,
+                  cfg: GlobalConfig):
+  """_get_throttle (autopilot.py:473-496)."""
+  e = cfg.expert
+  control_brake = (speed / jnp.maximum(target_speed, 1e-6)) > e.brake_ratio
+  ts = jnp.where(brake, 0.0, target_speed)
+  ts = jnp.where(is_last, 0.0, ts)
+  delta = jnp.clip(ts - speed, 0.0, e.clip_delta)
+  new_state, out = pid_step(pid_state, delta, _speed_params(cfg))
+  throttle = jnp.clip(out, 0.0, e.clip_throttle)
+  throttle = jnp.where(brake, 0.0, throttle)
+  return new_state, throttle, control_brake
+
+
+def _pid_steer(pid_state: PIDState, pos, yaw, target, speed, brake, is_last,
+               cfg: GlobalConfig):
+  """_get_steer (autopilot.py:421-448)."""
+  angle = geo.angle_to_target_deg(pos, yaw, target) / 90.0
+  angle = jnp.where(is_last | ((speed < 0.01) & brake), 0.0, angle)
+  new_state, out = pid_step(pid_state, angle, _turn_params(cfg))
+  return new_state, jnp.clip(out, -1.0, 1.0), angle
+
+
+def _forecast(cfg: GlobalConfig, scene: Scene, state: SimState,
+              planner_idx: jnp.ndarray):
+  """Joint closed-loop ego + constant-action vehicle forecast.
+
+  Returns per-future-step ego half-boxes and vehicle boxes
+  (autopilot.forcast_ego_agent:810-881 and the vehicle loop :556-679).
+
+  planner_idx [B]: dense-planner pointer AFTER this tick's advance (the
+  reference syncs the extrapolation planner to it, autopilot.py:286-289).
+  """
+  e, s = cfg.expert, cfg.sim
+  n_future = int(e.extrapolation_seconds * e.bicycle_frame_rate)       # 80
+  ego, veh = state.ego, state.vehicles
+  ex = state.expert
+  B = ego.yaw.shape[0]
+  dpp = _dense_planner_params(cfg)
+
+  # --- initial rollout controls (autopilot.py:812-820) ---
+  tgt_speed = ex.target_speed                       # previous tick's target
+  _, throttle0, _ = _pid_throttle(ex.pid_speed, tgt_speed, ego.speed,
+                                  jnp.zeros(B, bool), jnp.zeros(B, bool), cfg)
+
+  veh_action = veh.control                          # [B,V,3] constant action
+
+  def body(carry, t):
+    (loc, yaw, spd, steer_a, throt_a, brake_a, pidx, ptw, psw,
+     vloc, vyaw, vspd) = carry
+    # ego closed-loop step
+    loc, yaw, spd = bicycle_step(loc, yaw, spd, steer_a, throt_a,
+                                 brake_a.astype(jnp.float32), s,
+                                 dt=1.0 / e.bicycle_frame_rate)
+    pl = jax.vmap(
+        lambda i, pts, sl, nv, p: planner_step(
+            PlannerState(idx=i, is_last=jnp.zeros((), bool)),
+            pts, sl, nv, p, dpp))(
+        pidx, scene.route.points, scene.route.seg_len,
+        scene.route.num_valid, loc)
+    pidx2, is_last = pl.idx, pl.is_last
+    target = jax.vmap(
+        lambda pts, c, nv, i: route_lookup(pts, c, nv, i, 1)[0])(
+        scene.route.points, scene.route.cmd, scene.route.num_valid, pidx2)
+    angle = geo.angle_to_target_deg(loc, yaw, target) / 90.0
+    angle = jnp.where(is_last, 0.0, angle)
+    ptw2, steer_out = pid_step(PIDState(ptw), angle, _turn_params(cfg))
+    steer = jnp.clip(steer_out, -1.0, 1.0)
+    delta = jnp.clip(jnp.where(is_last, 0.0, tgt_speed) - spd, 0.0,
+                     e.clip_delta)
+    psw2, thr_out = pid_step(PIDState(psw), delta, _speed_params(cfg))
+    throttle = jnp.clip(thr_out, 0.0, e.clip_throttle)
+    brake_next = is_last
+    fut_steer = jnp.where(brake_next, 0.0, steer)
+
+    # ego front/back half-boxes (extent.x halved, autopilot.py:855-876)
+    half_ex = jnp.array([s.ego_extent_x / 2.0, s.ego_extent_y])
+    fwd = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)], -1)
+    c_front = loc + fwd * (s.ego_extent_x / 2.0)
+    c_back = loc - fwd * (s.ego_extent_x / 2.0)
+
+    # vehicles: constant-action bicycle step
+    vloc, vyaw, vspd = bicycle_step(
+        vloc, vyaw, vspd, veh_action[..., 0], veh_action[..., 1],
+        veh_action[..., 2], s, dt=1.0 / e.bicycle_frame_rate)
+
+    carry = (loc, yaw, spd, fut_steer, throttle,
+             brake_next, pidx2, ptw2.window, psw2.window, vloc, vyaw, vspd)
+    ys = (c_front, c_back, yaw, fut_steer, vloc, vyaw)
+    return carry, ys
+
+  init = (ego.pos, ego.yaw, ego.speed,
+          ex.steer, throttle0, jnp.zeros(B, bool),
+          planner_idx, ex.pid_turn.window, ex.pid_speed.window,
+          veh.pos, veh.yaw, veh.speed)
+  _, (cf, cb, eyaw, fsteer, vloc, vyaw) = jax.lax.scan(
+      body, init, jnp.arange(n_future))
+  half_ex = jnp.array([s.ego_extent_x / 2.0, s.ego_extent_y])
+  return dict(ego_front=cf, ego_back=cb, ego_yaw=eyaw,       # [T,B,...]
+              ego_half_extent=half_ex, future_steering=fsteer,
+              veh_loc=vloc, veh_yaw=vyaw)                    # [T,B,V,...]
+
+
+def _safety_box(cfg: GlobalConfig, state: SimState,
+                future_steering: jnp.ndarray):
+  """Bremsweg emergency-brake box (autopilot.py:744-772): roll the ego
+  forward in its local frame at the previous target speed, braking after a
+  1-speed-normalized margin, steering along the forecast steering sequence.
+  Returns (center [B,2] world, yaw [B], extent [2])."""
+  e, s = cfg.expert, cfg.sim
+  n_future = int(e.extrapolation_seconds * e.bicycle_frame_rate)
+  B = state.ego.yaw.shape[0]
+  tgt = jnp.maximum(state.expert.target_speed, 1e-3)
+  ego_speed = state.ego.speed
+  bremsweg = ((ego_speed * 3.6) / 10.0) ** 2 / 2.0 + e.safety_box_safety_margin
+  idx_orient = (bremsweg / tgt * e.bicycle_frame_rate).astype(jnp.int32)
+  idx_margin = (1.0 / tgt * e.bicycle_frame_rate).astype(jnp.int32)
+  bound = jnp.minimum(idx_margin + idx_orient, n_future)       # [B]
+
+  def body(carry, o):
+    loc, yaw, spd, steer_a, brake_a = carry
+    act_brake = brake_a | (o >= idx_margin)
+    live = o < bound
+    nloc, nyaw, nspd = bicycle_step(loc, yaw, spd, steer_a,
+                                    jnp.zeros(B), act_brake.astype(jnp.float32),
+                                    s, dt=1.0 / e.bicycle_frame_rate)
+    loc = jnp.where(live[:, None], nloc, loc)
+    yaw = jnp.where(live, nyaw, yaw)
+    spd = jnp.where(live, nspd, spd)
+    idx = jnp.minimum(o, future_steering.shape[0] - 1)
+    steer_next = future_steering[idx]
+    steer_a = jnp.where(live, steer_next, steer_a)
+    return (loc, yaw, spd, steer_a, act_brake), None
+
+  init = (jnp.zeros((B, 2)), jnp.zeros(B), tgt,
+          state.expert.steer, jnp.zeros(B, bool))
+  (loc, yaw, _, _, _), _ = jax.lax.scan(body, init, jnp.arange(n_future))
+  center = geo.ego_to_world(loc, state.ego.pos, state.ego.yaw)
+  box_yaw = geo.normalize_angle(state.ego.yaw + yaw)
+  extent = jnp.array([s.ego_extent_x, s.ego_extent_y])
+  return center, box_yaw, extent
+
+
+def expert_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
+                state: SimState, rng: jnp.ndarray):
+  """One expert control step for the whole batch.
+
+  Returns (Control, new ExpertState). Mirrors _get_control
+  (autopilot.py:260-334)."""
+  e, s = cfg.expert, cfg.sim
+  ego, veh, wlk, ex = state.ego, state.vehicles, state.walkers, state.expert
+  B, V = veh.yaw.shape[:2]
+  W = wlk.yaw.shape[1]
+  T = int(e.extrapolation_seconds * e.bicycle_frame_rate)
+  t_nj = int(e.extrapolation_seconds_no_junction * e.bicycle_frame_rate)
+
+  # --- dense route planner advance (autopilot.py:265-268) ---
+  pl_dense = jax.vmap(lambda st, pts, sl, nv, p: planner_step(
+      st, pts, sl, nv, p, _dense_planner_params(cfg)))(
+      ex.planner_dense, scene.route.points, scene.route.seg_len,
+      scene.route.num_valid, ego.pos)
+  near_target, near_cmd = jax.vmap(
+      lambda pts, c, nv, i: route_lookup(pts, c, nv, i, 1))(
+      scene.route.points, scene.route.cmd, scene.route.num_valid,
+      pl_dense.idx)
+  lane_change = (near_cmd == Cmd.CHANGE_LANE_LEFT) | \
+                (near_cmd == Cmd.CHANGE_LANE_RIGHT)
+
+  # --- forecasts (previous tick's junction flag gates the horizon,
+  #     matching autopilot.py: junction is updated after _get_brake) ---
+  prev_junction = ex.junction
+  fc = _forecast(cfg, scene, state, pl_dense.idx)
+  t_idx = jnp.arange(T)
+  step_valid = prev_junction[None, :] | (t_idx[:, None] <= t_nj)   # [T,B]
+
+  # near masks
+  veh_dist = jnp.linalg.norm(veh.pos - ego.pos[:, None], axis=-1)
+  veh_near = veh.valid & (veh_dist < e.detection_radius)            # [B,V]
+  wlk_dist = jnp.linalg.norm(wlk.pos - ego.pos[:, None], axis=-1)
+  wlk_in_radius = wlk.valid & (wlk_dist < e.detection_radius)
+  wlk_seen_before = wlk.seen_frames > 0                             # 1-frame
+  wlk_near = wlk_in_radius & wlk_seen_before                        # delay
+
+  # stuck vehicles => use their current box at every future step
+  # (autopilot.py:669-672, :694-695)
+  stuck = (jnp.mean(veh.buf_vel, -1) < e.stuck_vel_threshold) & \
+          (jnp.mean(veh.buf_throttle, -1) > e.stuck_throttle_threshold) & \
+          (jnp.mean(veh.buf_brake, -1) < e.stuck_brake_threshold)   # [B,V]
+  vloc = jnp.where(stuck[None, :, :, None], fc['veh_loc'][0:1],
+                   fc['veh_loc'])                                   # [T,B,V,2]
+  vyaw = jnp.where(stuck[None], fc['veh_yaw'][0:1], fc['veh_yaw'])
+
+  # --- ego half-box vs vehicle intersections over future steps ---
+  he = fc['ego_half_extent']
+  front_int = geo.obb_intersect(
+      fc['ego_front'][:, :, None], fc['ego_yaw'][:, :, None],
+      he[None, None, None], vloc, vyaw, veh.extent[None])           # [T,B,V]
+  back_int = geo.obb_intersect(
+      fc['ego_back'][:, :, None], fc['ego_yaw'][:, :, None],
+      he[None, None, None], vloc, vyaw, veh.extent[None])
+  gate = step_valid[:, :, None] & veh_near[None]
+  front_int &= gate
+  back_int &= gate
+
+  # back-only exclusion chain (autopilot.py:699-713): a vehicle that
+  # intersected only our back half keeps being skipped while it still
+  # back-intersects; lane changes also count back hits as hazards.
+  def chain(carry, xs):
+    flag = carry
+    f_t, b_t = xs
+    hazard_t = f_t & ~flag
+    flag = jnp.where(flag, b_t, b_t & ~f_t)
+    return flag, hazard_t
+  _, front_hazard_t = jax.lax.scan(chain, jnp.zeros((B, V), bool),
+                                   (front_int, back_int))
+  vehicle_hazard = jnp.any(front_hazard_t, axis=(0, 2))
+  vehicle_hazard |= jnp.any(back_int, axis=(0, 2)) & lane_change
+
+  # --- walkers: linear forecast in closed form (autopilot.py:883-942) ---
+  dt_b = 1.0 / e.bicycle_frame_rate
+  steps = (t_idx.astype(jnp.float32) + 1.0)[:, None, None, None]
+  wpos_t = wlk.pos[None] + wlk.direction[None] * \
+      (wlk.speed[None, :, :, None] * steps * dt_b)                  # [T,B,W,2]
+  wgate = step_valid[:, :, None] & wlk_near[None]
+  walker_int = geo.obb_intersect(
+      fc['ego_front'][:, :, None], fc['ego_yaw'][:, :, None],
+      he[None, None, None], wpos_t, wlk.yaw[None], wlk.extent[None])
+  walker_hazard = jnp.any(walker_int & wgate, axis=(0, 2))
+
+  # walker_close: any forecastable walker ahead of the ego (autopilot.py:897-902)
+  rel = geo.world_to_ego(wlk.pos, ego.pos[:, None], ego.yaw[:, None])
+  walker_close = jnp.any(wlk_near & (rel[..., 0] > s.ego_extent_x), axis=-1)
+
+  # --- Bremsweg safety box (autopilot.py:744-785) ---
+  sb_c, sb_yaw, sb_e = _safety_box(cfg, state, fc['future_steering'])
+  sb_veh = geo.obb_intersect(sb_c[:, None], sb_yaw[:, None], sb_e[None, None],
+                             veh.pos, veh.yaw, veh.extent) & veh_near
+  vehicle_hazard |= jnp.any(sb_veh, -1)
+  sb_wlk = geo.obb_intersect(sb_c[:, None], sb_yaw[:, None], sb_e[None, None],
+                             wlk.pos, wlk.yaw, wlk.extent) & wlk_near
+  walker_hazard |= jnp.any(sb_wlk, -1)
+
+  # --- red light (autopilot.py:944-1011) ---
+  lights = scene.lights
+  lstate = lights.state_at(state.time_s)                            # [B,L]
+  ldist = jnp.linalg.norm(lights.pos - ego.pos[:, None], -1)
+  lnear = lights.valid & (ldist < e.light_radius)
+  ego_e = jnp.array([s.ego_extent_x, s.ego_extent_y])
+  hit_sb = geo.obb_intersect(sb_c[:, None], sb_yaw[:, None], sb_e[None, None],
+                             lights.pos, lights.yaw, lights.extent)
+  hit_ego = geo.obb_intersect(ego.pos[:, None], ego.yaw[:, None],
+                              ego_e[None, None],
+                              lights.pos, lights.yaw, lights.extent)
+  affects = lnear & (hit_sb | hit_ego)
+  is_red = (lstate == LightState.RED) | (lstate == LightState.YELLOW)
+  light_hazard = jnp.any(affects & is_red, -1)
+
+  # --- stop signs (autopilot.py:1013-1070) ---
+  stops = scene.stops
+  sdist = jnp.linalg.norm(stops.pos - ego.pos[:, None], -1)
+  snear = stops.valid & (sdist < e.light_radius)
+  st_ego = geo.obb_intersect(ego.pos[:, None], ego.yaw[:, None],
+                             ego_e[None, None],
+                             stops.pos, stops.yaw, stops.extent) & snear
+  st_sb = geo.obb_intersect(sb_c[:, None], sb_yaw[:, None], sb_e[None, None],
+                            stops.pos, stops.yaw, stops.extent) & snear
+  uncleared = ~ex.cleared_stop_signs
+  moving = ego.speed > 1e-4
+  stop_sign_hazard = jnp.any(st_ego & uncleared, -1) & moving
+  newly_cleared = st_ego & uncleared & ~moving[:, None]
+  stop_sign_close = jnp.any((st_ego | (st_sb & ~st_ego)) & uncleared, -1)
+  cleared = (ex.cleared_stop_signs | newly_cleared) & snear
+
+  brake = vehicle_hazard | light_hazard | walker_hazard | stop_sign_hazard
+
+  # --- junction + target speed (autopilot.py:274-283) ---
+  junction = maps.sample(scene.town_id[:, None], Layer.JUNCTION,
+                         ego.pos[:, None])[:, 0]
+  target_speed = jnp.where(
+      walker_close | stop_sign_close, e.target_speed_walker,
+      jnp.where(junction, e.target_speed_slow, e.target_speed_fast))
+
+  # --- controllers (autopilot.py:291-298) ---
+  pid_speed2, throttle, control_brake = _pid_throttle(
+      ex.pid_speed, target_speed, ego.speed, brake, pl_dense.is_last, cfg)
+  pid_turn2, steer, angle = _pid_steer(
+      ex.pid_turn, ego.pos, ego.yaw, near_target, ego.speed, brake,
+      pl_dense.is_last, cfg)
+  noise = e.steer_noise * jax.random.normal(rng, steer.shape)
+  steer_noisy = steer + noise
+  out_brake = (brake | control_brake).astype(jnp.float32)
+
+  # --- sparse command planner advance (autopilot.py:308-323) ---
+  pl_sparse = jax.vmap(lambda st, pts, nv, p: planner_step(
+      st, pts, _sparse_seg_len(pts, nv), nv, p, _sparse_planner_params(cfg)))(
+      ex.planner_sparse, scene.route.sparse_points,
+      scene.route.sparse_num_valid, ego.pos)
+
+  new_ex = ExpertState(
+      planner_dense=pl_dense, planner_sparse=pl_sparse,
+      pid_turn=pid_turn2, pid_speed=pid_speed2,
+      steer=steer_noisy, target_speed=target_speed, junction=junction,
+      cleared_stop_signs=cleared,
+      vehicle_hazard=vehicle_hazard, walker_hazard=walker_hazard,
+      light_hazard=light_hazard, stop_sign_hazard=stop_sign_hazard,
+      walker_close=walker_close, stop_sign_close=stop_sign_close)
+  control = Control(steer=steer_noisy,
+                    throttle=jnp.where(brake, 0.0, throttle),
+                    brake=out_brake)
+  return control, new_ex
+
+
+def _sparse_seg_len(points: jnp.ndarray, num_valid: jnp.ndarray):
+  d = jnp.linalg.norm(jnp.diff(points, axis=0), axis=-1)
+  seg = jnp.concatenate([jnp.zeros((1,)), d])
+  mask = jnp.arange(points.shape[0]) < num_valid
+  return jnp.where(mask, seg, 0.0)

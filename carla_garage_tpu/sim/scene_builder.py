@@ -1,0 +1,263 @@
+"""Host-side episode assembly — the RouteScenario constructor analog.
+
+Builds batched Scene + initial SimState arrays from host town data and route
+keypoints, mirroring what RouteScenario does per episode
+(route_scenario_local.py:173-594: route interpolation, ego + traffic spawn,
+scenario instantiation, timeout computation) — but producing padded,
+fixed-shape arrays for the whole batch at once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from carla_garage_tpu.config import GlobalConfig
+from carla_garage_tpu.maps import routing
+from carla_garage_tpu.maps.synthetic import SyntheticTown, sample_route_keypoints
+from carla_garage_tpu.maps.town_map import LaneGraph, MapStack, stack_towns
+from carla_garage_tpu.structs import (CriteriaState, EgoState, ExpertState,
+                                      PIDState, PlannerState, Route, Scene,
+                                      SimState, StopSigns, TrafficLights,
+                                      VehicleStates, WalkerSpec, WalkerStates)
+from carla_garage_tpu.sim.criteria import criteria_reset
+
+MAX_SPARSE = 128
+NPC_EXTENT = (2.45, 1.06)
+WALKER_EXTENT = (0.187, 0.187)   # CARLA walker bounding box half extents
+WALKER_SPEED = 1.4
+
+
+@dataclasses.dataclass
+class HostEpisode:
+  """One episode's host-side spec before padding/batching."""
+  dense: np.ndarray        # [R,2]
+  cmd: np.ndarray          # [R]
+  is_junction: np.ndarray  # [R]
+  sparse: np.ndarray
+  sparse_cmd: np.ndarray
+  length_m: float
+
+
+def compile_route(town: SyntheticTown, keypoints_xy: np.ndarray,
+                  keypoints_yaw: np.ndarray) -> HostEpisode:
+  dense = routing.interpolate_keypoints(keypoints_xy, keypoints_yaw)
+  junc = town.in_junction(dense)
+  cmd = routing.classify_commands(dense, junc)
+  sparse, sparse_cmd = routing.downsample_route(dense, cmd)
+  length = float(np.linalg.norm(np.diff(dense, axis=0), axis=-1).sum())
+  return HostEpisode(dense=dense, cmd=cmd, is_junction=junc, sparse=sparse,
+                     sparse_cmd=sparse_cmd, length_m=length)
+
+
+def build_batch(cfg: GlobalConfig, town: SyntheticTown,
+                episodes: list[HostEpisode], seed: int = 0,
+                n_vehicles: int = 8, n_walkers: int = 2):
+  """Returns (MapStack, LaneGraph, Scene, SimState) for a batch of episodes
+  in one town."""
+  rng = np.random.default_rng(seed)
+  B = len(episodes)
+  s = cfg.sim
+  R, Rs = s.max_route_points, MAX_SPARSE
+  V, W, L, S = s.max_vehicles, s.max_walkers, s.max_lights, s.max_stop_signs
+
+  maps = stack_towns([town.raster], [town.world_offset], town.ppm)
+  lanes = LaneGraph.from_polylines(town.lane_polys, town.lane_successors)
+
+  # ---- routes ----
+  pts = np.zeros((B, R, 2), np.float32)
+  cmd = np.full((B, R), 4, np.int32)
+  junc = np.zeros((B, R), bool)
+  seg = np.zeros((B, R), np.float32)
+  nv = np.zeros((B,), np.int32)
+  spts = np.zeros((B, Rs, 2), np.float32)
+  scmd = np.full((B, Rs), 4, np.int32)
+  snv = np.zeros((B,), np.int32)
+  timeout = np.zeros((B,), np.int32)
+  for i, ep in enumerate(episodes):
+    n = min(len(ep.dense), R)
+    pts[i, :n] = ep.dense[:n]
+    pts[i, n:] = ep.dense[n - 1]
+    cmd[i, :n] = ep.cmd[:n]
+    junc[i, :n] = ep.is_junction[:n]
+    seg[i, 1:n] = np.linalg.norm(np.diff(ep.dense[:n], axis=0), axis=-1)
+    nv[i] = n
+    m = min(len(ep.sparse), Rs)
+    spts[i, :m] = ep.sparse[:m]
+    spts[i, m:] = ep.sparse[m - 1]
+    scmd[i, :m] = ep.sparse_cmd[:m]
+    snv[i] = m
+    timeout[i] = int((cfg.criteria.route_timeout_s_per_m * ep.length_m +
+                      cfg.criteria.route_timeout_base_s) * s.fps)
+  route = Route(points=jnp.asarray(pts), cmd=jnp.asarray(cmd),
+                is_junction=jnp.asarray(junc), seg_len=jnp.asarray(seg),
+                num_valid=jnp.asarray(nv),
+                sparse_points=jnp.asarray(spts), sparse_cmd=jnp.asarray(scmd),
+                sparse_num_valid=jnp.asarray(snv))
+
+  # ---- lights / stops: pad town layout, replicate over B ----
+  def pad(a, n, fill=0.0):
+    out = np.full((n,) + a.shape[1:], fill, np.float32)
+    out[:min(len(a), n)] = a[:n]
+    return out
+
+  nl = min(len(town.light_pos), L)
+  lights = TrafficLights(
+      pos=jnp.asarray(np.broadcast_to(pad(town.light_pos, L), (B, L, 2))),
+      yaw=jnp.asarray(np.broadcast_to(pad(town.light_yaw, L), (B, L))),
+      extent=jnp.asarray(np.broadcast_to(pad(town.light_extent, L),
+                                         (B, L, 2))),
+      offset_s=jnp.asarray(np.broadcast_to(pad(town.light_offset_s, L),
+                                           (B, L))),
+      green_s=jnp.asarray(np.broadcast_to(pad(town.light_green_s, L),
+                                          (B, L))),
+      yellow_s=jnp.asarray(np.broadcast_to(pad(town.light_yellow_s, L),
+                                           (B, L))),
+      red_s=jnp.asarray(np.broadcast_to(pad(town.light_red_s, L), (B, L))),
+      valid=jnp.asarray(np.broadcast_to(
+          np.arange(L) < nl, (B, L))))
+  ns = min(len(town.stop_pos), S)
+  stops = StopSigns(
+      pos=jnp.asarray(np.broadcast_to(pad(town.stop_pos, S), (B, S, 2))),
+      yaw=jnp.asarray(np.broadcast_to(pad(town.stop_yaw, S), (B, S))),
+      extent=jnp.asarray(np.broadcast_to(pad(town.stop_extent, S),
+                                         (B, S, 2))),
+      valid=jnp.asarray(np.broadcast_to(np.arange(S) < ns, (B, S))))
+
+  # ---- NPC vehicles on random lanes, away from the ego start ----
+  vpos = np.zeros((B, V, 2), np.float32)
+  vyaw = np.zeros((B, V), np.float32)
+  vvalid = np.zeros((B, V), bool)
+  vlane = np.zeros((B, V), np.int32)
+  vt = np.zeros((B, V), np.float32)
+  n_lanes = len(town.lane_polys)
+  for b in range(B):
+    ego0 = episodes[b].dense[0]
+    placed = 0
+    for _ in range(n_vehicles * 8):
+      if placed >= min(n_vehicles, V):
+        break
+      li = rng.integers(0, n_lanes)
+      poly = town.lane_polys[li]
+      seg_ln = np.linalg.norm(np.diff(poly, axis=0), axis=-1)
+      total = seg_ln.sum()
+      t = float(rng.uniform(0.1, 0.9)) * total
+      arc = np.concatenate([[0.0], np.cumsum(seg_ln)])
+      x = np.interp(t, arc, poly[:, 0])
+      y = np.interp(t, arc, poly[:, 1])
+      if np.linalg.norm([x - ego0[0], y - ego0[1]]) < 15.0:
+        continue
+      if placed and np.min(np.linalg.norm(
+          vpos[b, :placed] - np.array([x, y]), axis=-1)) < 10.0:
+        continue
+      k = min(np.searchsorted(arc, t), len(poly) - 1)
+      d = poly[min(k, len(poly) - 1)] - poly[max(k - 1, 0)]
+      vpos[b, placed] = (x, y)
+      vyaw[b, placed] = np.arctan2(d[1], d[0])
+      vlane[b, placed] = li
+      vt[b, placed] = t
+      vvalid[b, placed] = True
+      placed += 1
+  sb = cfg.expert.stuck_buffer_size
+  vehicles = VehicleStates(
+      pos=jnp.asarray(vpos), yaw=jnp.asarray(vyaw),
+      speed=jnp.zeros((B, V)),
+      extent=jnp.asarray(np.broadcast_to(np.array(NPC_EXTENT, np.float32),
+                                         (B, V, 2))),
+      valid=jnp.asarray(vvalid),
+      control=jnp.zeros((B, V, 3)),
+      buf_vel=jnp.ones((B, V, sb)),        # start "moving" so not stuck
+      buf_throttle=jnp.zeros((B, V, sb)),
+      buf_brake=jnp.zeros((B, V, sb)),
+      lane_id=jnp.asarray(vlane), lane_t=jnp.asarray(vt))
+
+  # ---- crossing walkers at random route fractions (scenario triggers) ----
+  wpos = np.zeros((B, W, 2), np.float32)
+  wdir = np.zeros((B, W, 2), np.float32)
+  wyaw = np.zeros((B, W), np.float32)
+  wvalid = np.zeros((B, W), bool)
+  wtrig = np.full((B, W), 18.0, np.float32)
+  wcross = np.full((B, W), 9.0, np.float32)
+  for b in range(B):
+    dense = episodes[b].dense
+    for wi in range(min(n_walkers, W)):
+      fi = int(len(dense) * rng.uniform(0.3, 0.9))
+      fi = min(fi, len(dense) - 2)
+      p = dense[fi]
+      h = dense[fi + 1] - dense[fi]
+      h = h / (np.linalg.norm(h) + 1e-6)
+      right = np.array([-h[1], h[0]], np.float32)
+      wpos[b, wi] = p + right * 6.0        # on the sidewalk
+      wdir[b, wi] = -right                 # crossing the street
+      wyaw[b, wi] = np.arctan2(-right[1], -right[0])
+      wvalid[b, wi] = True
+  walkers = WalkerStates(
+      pos=jnp.asarray(wpos), yaw=jnp.asarray(wyaw),
+      direction=jnp.asarray(wdir), speed=jnp.zeros((B, W)),
+      extent=jnp.asarray(np.broadcast_to(np.array(WALKER_EXTENT, np.float32),
+                                         (B, W, 2))),
+      valid=jnp.asarray(wvalid),
+      seen_frames=jnp.zeros((B, W), jnp.int32),
+      active=jnp.zeros((B, W), bool),
+      walked_m=jnp.zeros((B, W)))
+  wspec = WalkerSpec(trigger_dist=jnp.asarray(wtrig),
+                     cross_dist=jnp.asarray(wcross),
+                     walk_speed=jnp.full((B, W), WALKER_SPEED))
+
+  scene = Scene(town_id=jnp.zeros((B,), jnp.int32), route=route,
+                lights=lights, stops=stops, walkers_spec=wspec,
+                timeout_ticks=jnp.asarray(timeout))
+
+  # ---- initial state ----
+  ego_pos = np.stack([ep.dense[0] for ep in episodes])
+  ego_yaw = np.array([np.arctan2(*((ep.dense[1] - ep.dense[0])[::-1]))
+                      for ep in episodes], np.float32)
+  ego = EgoState(pos=jnp.asarray(ego_pos, jnp.float32),
+                 yaw=jnp.asarray(ego_yaw), speed=jnp.zeros((B,)))
+  n_pid = cfg.expert.turn_n
+  expert = ExpertState(
+      planner_dense=PlannerState(idx=jnp.zeros((B,), jnp.int32),
+                                 is_last=jnp.zeros((B,), bool)),
+      planner_sparse=PlannerState(idx=jnp.zeros((B,), jnp.int32),
+                                  is_last=jnp.zeros((B,), bool)),
+      pid_turn=PIDState.create((B,), n_pid),
+      pid_speed=PIDState.create((B,), cfg.expert.speed_n),
+      steer=jnp.zeros((B,)),
+      target_speed=jnp.full((B,), cfg.expert.target_speed_fast),
+      junction=jnp.zeros((B,), bool),
+      cleared_stop_signs=jnp.zeros((B, S), bool),
+      vehicle_hazard=jnp.zeros((B,), bool),
+      walker_hazard=jnp.zeros((B,), bool),
+      light_hazard=jnp.zeros((B,), bool),
+      stop_sign_hazard=jnp.zeros((B,), bool),
+      walker_close=jnp.zeros((B,), bool),
+      stop_sign_close=jnp.zeros((B,), bool))
+  state = SimState(tick=jnp.zeros((B,), jnp.int32),
+                   done=jnp.zeros((B,), bool),
+                   ego=ego, vehicles=vehicles, walkers=walkers,
+                   expert=expert, criteria=criteria_reset(B, L, S),
+                   rng=jax.random.key(seed))
+  return maps, lanes, scene, state
+
+
+def make_synthetic_batch(cfg: GlobalConfig, batch: int = 4, seed: int = 0,
+                         n_vehicles: int = 8, n_walkers: int = 2,
+                         min_route_m: float = 300.0,
+                         town: SyntheticTown | None = None):
+  """Convenience: synthetic town + random routes + batch assembly."""
+  from carla_garage_tpu.maps.synthetic import make_town
+  rng = np.random.default_rng(seed)
+  town = town or make_town(seed=seed)
+  eps = []
+  for _ in range(batch):
+    for _retry in range(16):
+      xy, yaw = sample_route_keypoints(town, rng, min_len_m=min_route_m)
+      if len(xy) >= 4:
+        break
+    eps.append(compile_route(town, xy, yaw))
+  maps, lanes, scene, state = build_batch(
+      cfg, town, eps, seed=seed, n_vehicles=n_vehicles, n_walkers=n_walkers)
+  return town, maps, lanes, scene, state
