@@ -106,6 +106,12 @@ def make_town(n_x: int = 4, n_y: int = 4, block: float = 120.0,
   for cx, cy in centers:
     junction |= (np.abs(gx - cx) <= JUNCTION_HALF) & \
                 (np.abs(gy - cy) <= JUNCTION_HALF)
+  road |= junction            # junction interiors are drivable
+  sidewalk &= ~road
+  for cx, cy in centers:      # sidewalk ring around each junction corner
+    ring = (np.abs(gx - cx) <= JUNCTION_HALF + SIDEWALK_W) & \
+           (np.abs(gy - cy) <= JUNCTION_HALF + SIDEWALK_W)
+    sidewalk |= ring & ~road
 
   # Traffic lights at even junctions, stop signs at odd ones.
   lights, stops = [], []
@@ -165,13 +171,16 @@ def make_town(n_x: int = 4, n_y: int = 4, block: float = 120.0,
     for a, b in zip(col[:-1], col[1:]):
       add_lane(a, b)
       add_lane(b, a)
-  # successors: lanes continuing straight through the shared node
+  # successors: continue straight through the shared node; at grid
+  # boundaries U-turn onto the opposite-direction lane so traffic circulates
   for (a, b), i in index.items():
     av, bv = np.array(a), np.array(b)
     d = bv - av
     nxt = tuple(np.round(bv + d, 1))
     if (tuple(np.round(bv, 1)), nxt) in index:
       succ[i].append(index[(tuple(np.round(bv, 1)), nxt)])
+    elif (b, a) in index:
+      succ[i].append(index[(b, a)])
 
   raster = np.stack([road, sidewalk, lane_all, lane_broken, stopline,
                      junction]).astype(np.uint8) * 255
@@ -240,6 +249,15 @@ def sample_route_keypoints(town: SyntheticTown, rng: np.random.Generator,
     # entry keypoint (on incoming lane, before junction) w.r.t. old heading
     entry = node - h * (JUNCTION_HALF + 2.0) + right_of(h) * LANE_W / 2
     exit_p = node + h_new * (JUNCTION_HALF + 2.0) + right_of(h_new) * LANE_W / 2
+    if prev_exit is None:
+      # spawn mid-block, well clear of the first junction's trigger boxes
+      spawn = entry - h * 35.0
+      lo = np.array([town.xs[0] - JUNCTION_HALF + 2,
+                     town.ys[0] - JUNCTION_HALF + 2])
+      hi = np.array([town.xs[-1] + JUNCTION_HALF - 2,
+                     town.ys[-1] + JUNCTION_HALF - 2])
+      keypoints.append(np.clip(spawn, lo, hi))
+      yaws.append(np.arctan2(h[1], h[0]))
     if prev_exit is not None:
       total += np.linalg.norm(entry - prev_exit)
     keypoints += [entry, exit_p]

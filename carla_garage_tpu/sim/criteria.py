@@ -22,7 +22,7 @@ ROUTE_MATCH_DIST = 10.0   # waypoint pass distance (RouteCompletion WINDOWS)
 ROUTE_WINDOW = 64
 
 
-def criteria_reset(B: int, L: int, S: int) -> CriteriaState:
+def criteria_reset(B: int, V: int, W: int, L: int, S: int) -> CriteriaState:
   z_i = jnp.zeros((B,), jnp.int32)
   z_b = jnp.zeros((B,), bool)
   z_f = jnp.zeros((B,), jnp.float32)
@@ -33,7 +33,9 @@ def criteria_reset(B: int, L: int, S: int) -> CriteriaState:
       route_completion=z_f, max_route_idx=z_i,
       outside_lane_m=z_f, driven_m=z_f, blocked_ticks=z_i,
       deviated=z_b, blocked=z_b, timed_out=z_b,
-      collision_cooldown=z_i,
+      veh_overlap=jnp.zeros((B, V), bool),
+      wlk_overlap=jnp.zeros((B, W), bool),
+      static_overlap=z_b,
       red_light_cooldown=jnp.zeros((B, L), bool),
       stop_pending=jnp.zeros((B, S), bool),
       stop_done=jnp.zeros((B, S), bool))
@@ -57,7 +59,7 @@ def criteria_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
   w = jnp.arange(ROUTE_WINDOW)
   q = jnp.clip(cr.max_route_idx[:, None] + w[None], 0, R - 1)     # [B,Wd]
   wp = jnp.take_along_axis(scene.route.points, q[..., None], 1)   # [B,Wd,2]
-  d = jnp.linalg.norm(wp - ego.pos[:, None], -1)
+  d = jnp.linalg.norm(wp - ego.pos[:, None], axis=-1)
   in_route = q < scene.route.num_valid[:, None]
   close = (d < ROUTE_MATCH_DIST) & in_route
   best = jnp.max(jnp.where(close, w[None], -1), -1)               # [B]
@@ -79,38 +81,38 @@ def criteria_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
                         ego.pos[:, None])[:, 0]
   outside_lane_m = cr.outside_lane_m + jnp.where(on_road, 0.0, step_m)
 
-  # --- collisions (Collision criterion :300-437, cooldown dedup) ---
+  # --- collisions (Collision criterion :300-437): counted on overlap ONSET
+  # per actor, latched while contact persists (reference per-actor dedup) ---
   veh, wlk = state.vehicles, state.walkers
-  col_v = jnp.any(geo.obb_intersect(
+  ov_v = geo.obb_intersect(
       ego.pos[:, None], ego.yaw[:, None], ego_e[None, None],
-      veh.pos, veh.yaw, veh.extent) & veh.valid, -1)
-  col_w = jnp.any(geo.obb_intersect(
+      veh.pos, veh.yaw, veh.extent) & veh.valid                    # [B,V]
+  ov_w = geo.obb_intersect(
       ego.pos[:, None], ego.yaw[:, None], ego_e[None, None],
-      wlk.pos, wlk.yaw, wlk.extent) & wlk.valid, -1)
+      wlk.pos, wlk.yaw, wlk.extent) & wlk.valid                    # [B,W]
   corners = geo.box_corners(ego.pos, ego.yaw, ego_e[None])         # [B,4,2]
   c_road = maps.sample(scene.town_id[:, None], Layer.ROAD, corners)
   c_walk = maps.sample(scene.town_id[:, None], Layer.SIDEWALK, corners)
-  col_s = jnp.any(~(c_road | c_walk), -1)                          # off-map =
-  ready = cr.collision_cooldown <= 0                               # building
-  hit_w = col_w & ready
-  hit_v = col_v & ready & ~hit_w
-  hit_s = col_s & ready & ~hit_w & ~hit_v
-  any_hit = hit_w | hit_v | hit_s
-  cooldown_ticks = jnp.int32(c.collision_dedup_seconds * s.fps)
-  cooldown = jnp.where(any_hit, cooldown_ticks,
-                       jnp.maximum(cr.collision_cooldown - 1, 0))
+  ov_s = jnp.any(~(c_road | c_walk), -1)          # off road+sidewalk = layout
+  new_v = jnp.sum(ov_v & ~cr.veh_overlap, -1).astype(jnp.int32)
+  new_w = jnp.sum(ov_w & ~cr.wlk_overlap, -1).astype(jnp.int32)
+  new_s = (ov_s & ~cr.static_overlap).astype(jnp.int32)
   penalty = cr.penalty
-  penalty *= jnp.where(hit_w, c.penalty_collision_pedestrian, 1.0)
-  penalty *= jnp.where(hit_v, c.penalty_collision_vehicle, 1.0)
-  penalty *= jnp.where(hit_s, c.penalty_collision_static, 1.0)
+  penalty *= jnp.power(c.penalty_collision_pedestrian,
+                       new_w.astype(jnp.float32))
+  penalty *= jnp.power(c.penalty_collision_vehicle, new_v.astype(jnp.float32))
+  penalty *= jnp.power(c.penalty_collision_static, new_s.astype(jnp.float32))
 
-  # --- running a red light (:1696+, latch per stop-line entry) ---
+  # --- running a red light (:1696+): the reference scores the infraction
+  # when the vehicle *crosses* the stop line while red, not on box contact —
+  # so we test the ego center point, latched per entry ---
   lights = scene.lights
   lstate = lights.state_at(state.time_s)
-  inside = geo.obb_intersect(
-      ego.pos[:, None], ego.yaw[:, None], ego_e[None, None],
-      lights.pos, lights.yaw, lights.extent) & lights.valid
-  red_run = inside & (lstate == LightState.RED) & ~cr.red_light_cooldown
+  inside = geo.point_in_obb(
+      ego.pos[:, None], lights.pos, lights.yaw,
+      lights.extent) & lights.valid
+  red_run = inside & (lstate == LightState.RED) & ~cr.red_light_cooldown \
+      & (ego.speed > c.blocked_speed_threshold)[:, None]   # crossing = moving
   n_red_new = jnp.sum(red_run, -1).astype(jnp.int32)
   penalty *= jnp.power(c.penalty_traffic_light, n_red_new.astype(jnp.float32))
   red_latch = inside  # latched while inside; re-arm on exit
@@ -122,9 +124,9 @@ def criteria_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
       stops.pos, stops.yaw, stops.extent) & stops.valid
   stopped = ego.speed < c.blocked_speed_threshold
   satisfied = cr.stop_pending & in_stop & stopped[:, None]
-  violated = cr.stop_pending & ~in_stop                 # left without stopping
+  violated = cr.stop_pending & ~in_stop & ~cr.stop_done   # left w/o stopping
   stop_done = cr.stop_done | satisfied | violated
-  stop_pending = (cr.stop_pending | (in_stop & ~stop_done)) & in_stop
+  stop_pending = in_stop & ~stop_done
   n_stop_new = jnp.sum(violated, -1).astype(jnp.int32)
   penalty *= jnp.power(c.penalty_stop, n_stop_new.astype(jnp.float32))
 
@@ -137,9 +139,9 @@ def criteria_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
 
   return CriteriaState(
       penalty=penalty,
-      n_collision_vehicle=cr.n_collision_vehicle + hit_v.astype(jnp.int32),
-      n_collision_walker=cr.n_collision_walker + hit_w.astype(jnp.int32),
-      n_collision_static=cr.n_collision_static + hit_s.astype(jnp.int32),
+      n_collision_vehicle=cr.n_collision_vehicle + new_v,
+      n_collision_walker=cr.n_collision_walker + new_w,
+      n_collision_static=cr.n_collision_static + new_s,
       n_red_light=cr.n_red_light + n_red_new,
       n_stop_sign=cr.n_stop_sign + n_stop_new,
       route_completion=jnp.maximum(cr.route_completion, completion),
@@ -147,7 +149,7 @@ def criteria_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
       outside_lane_m=outside_lane_m, driven_m=driven_m,
       blocked_ticks=blocked_ticks.astype(jnp.int32),
       deviated=deviated, blocked=blocked, timed_out=timed_out,
-      collision_cooldown=cooldown.astype(jnp.int32),
+      veh_overlap=ov_v, wlk_overlap=ov_w, static_overlap=ov_s,
       red_light_cooldown=red_latch,
       stop_pending=stop_pending, stop_done=stop_done)
 

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from carla_garage_tpu.config import GlobalConfig
 from carla_garage_tpu.maps.town_map import LaneGraph, MapStack
 from carla_garage_tpu.sim.criteria import criteria_step, episode_done
+from carla_garage_tpu.sim.geometry import normalize_angle
 from carla_garage_tpu.sim.dynamics import bicycle_step
 from carla_garage_tpu.sim.expert import Control, expert_step
 from carla_garage_tpu.sim.traffic import traffic_step, walker_step
@@ -45,7 +46,7 @@ def sim_step(cfg: GlobalConfig, maps: MapStack, lanes: LaneGraph,
   pos, yaw, speed = bicycle_step(state.ego.pos, state.ego.yaw,
                                  state.ego.speed, control.steer,
                                  control.throttle, control.brake, cfg.sim)
-  new_ego = state.ego.replace(pos=pos, yaw=yaw, speed=speed)
+  new_ego = state.ego.replace(pos=pos, yaw=normalize_angle(yaw), speed=speed)
   new_veh = traffic_step(cfg, lanes, scene, state)
   new_wlk = walker_step(cfg, scene, state)
 

@@ -307,7 +307,7 @@ def expert_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
   # --- red light (autopilot.py:944-1011) ---
   lights = scene.lights
   lstate = lights.state_at(state.time_s)                            # [B,L]
-  ldist = jnp.linalg.norm(lights.pos - ego.pos[:, None], -1)
+  ldist = jnp.linalg.norm(lights.pos - ego.pos[:, None], axis=-1)
   lnear = lights.valid & (ldist < e.light_radius)
   ego_e = jnp.array([s.ego_extent_x, s.ego_extent_y])
   hit_sb = geo.obb_intersect(sb_c[:, None], sb_yaw[:, None], sb_e[None, None],
@@ -321,7 +321,7 @@ def expert_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
 
   # --- stop signs (autopilot.py:1013-1070) ---
   stops = scene.stops
-  sdist = jnp.linalg.norm(stops.pos - ego.pos[:, None], -1)
+  sdist = jnp.linalg.norm(stops.pos - ego.pos[:, None], axis=-1)
   snear = stops.valid & (sdist < e.light_radius)
   st_ego = geo.obb_intersect(ego.pos[:, None], ego.yaw[:, None],
                              ego_e[None, None],

@@ -238,7 +238,7 @@ def build_batch(cfg: GlobalConfig, town: SyntheticTown,
   state = SimState(tick=jnp.zeros((B,), jnp.int32),
                    done=jnp.zeros((B,), bool),
                    ego=ego, vehicles=vehicles, walkers=walkers,
-                   expert=expert, criteria=criteria_reset(B, L, S),
+                   expert=expert, criteria=criteria_reset(B, V, W, L, S),
                    rng=jax.random.key(seed))
   return maps, lanes, scene, state
 

@@ -70,14 +70,20 @@ def traffic_step(cfg: GlobalConfig, lanes: LaneGraph, scene: Scene,
   light_block = jnp.any(ahead_l & facing & red[:, None] &
                         lights.valid[:, None], -1)
 
-  # --- IDM-style longitudinal control ---
+  # --- IDM-style longitudinal control; slow near lane ends (U-turns) ---
+  total_here = lanes.total_len[veh.lane_id]
+  near_end = (total_here - veh.lane_t) < 12.0
+  dead_end = lanes.successor[veh.lane_id, 0] < 0
+  target_speed = jnp.where(near_end, 2.0, NPC_TARGET_SPEED)
   desired_gap = SAFE_MIN_GAP + veh.speed * SAFE_TIME_HEADWAY
-  brake = (gap < desired_gap) | light_block
-  throttle = jnp.where(veh.speed < NPC_TARGET_SPEED, 0.6, 0.0)
+  brake = (gap < desired_gap) | light_block | \
+      (near_end & dead_end) | (veh.speed > target_speed + 0.5)
+  throttle = jnp.where(veh.speed < target_speed, 0.6, 0.0)
   throttle = jnp.where(brake, 0.0, throttle)
 
   pos, yaw, speed = bicycle_step(veh.pos, veh.yaw, veh.speed, steer,
                                  throttle, brake.astype(jnp.float32), s)
+  yaw = geo.normalize_angle(yaw)
   pos = jnp.where(veh.valid[..., None], pos, veh.pos)
   yaw = jnp.where(veh.valid, yaw, veh.yaw)
   speed = jnp.where(veh.valid, speed, 0.0)
@@ -108,7 +114,7 @@ def walker_step(cfg: GlobalConfig, scene: Scene, state: SimState):
   s = cfg.sim
   wlk = state.walkers
   spec = scene.walkers_spec
-  d_ego = jnp.linalg.norm(wlk.pos - state.ego.pos[:, None], -1)
+  d_ego = jnp.linalg.norm(wlk.pos - state.ego.pos[:, None], axis=-1)
   trigger = wlk.valid & (d_ego < spec.trigger_dist)
   active = wlk.active | trigger
   walking = active & (wlk.walked_m < spec.cross_dist) & wlk.valid

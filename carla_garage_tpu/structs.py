@@ -206,7 +206,12 @@ class CriteriaState:
   deviated: jnp.ndarray              # [B] bool (route deviation > 30 m)
   blocked: jnp.ndarray               # [B] bool
   timed_out: jnp.ndarray             # [B] bool
-  collision_cooldown: jnp.ndarray    # [B] ticks left where new collisions are deduped
+  # per-actor overlap latches: a collision is counted on overlap ONSET only
+  # (the reference dedups repeat events per actor, atomic_criteria_local.py
+  # :300-437)
+  veh_overlap: jnp.ndarray           # [B,V] bool
+  wlk_overlap: jnp.ndarray           # [B,W] bool
+  static_overlap: jnp.ndarray        # [B] bool
   red_light_cooldown: jnp.ndarray    # [B] per-light latched mask, [B,L] bool
   stop_pending: jnp.ndarray          # [B,S] bool — inside trigger, not yet stopped
   stop_done: jnp.ndarray             # [B,S] bool — stop satisfied / scored
