@@ -1,0 +1,127 @@
+"""On-device dataset generation — batched expert rollouts emit training
+arrays directly.
+
+The reference farms one CARLA server + DataAgent per SLURM GPU job and
+writes jpg/laz/json.gz files at 4 Hz (generate_dataset_slurm.py,
+data_agent.py:341-372), later decoded by CPU DataLoader workers
+(data.py:238-696). Here datagen IS the env rollout: a scan that advances
+the world `save_freq` ticks per iteration and emits one training frame —
+world state snapshot + expert labels — as stacked device arrays. Labels
+that need the future (waypoints) are computed post-hoc by shifting the
+collected trajectory, exactly like data.py:812-838 reads future
+measurements.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from carla_garage_tpu.config import GlobalConfig
+from carla_garage_tpu.maps.town_map import LaneGraph, MapStack
+from carla_garage_tpu.sim import geometry as geo
+from carla_garage_tpu.sim.episode import sim_step
+from carla_garage_tpu.sim.route_planner import route_lookup
+from carla_garage_tpu.structs import Scene, SimState
+
+SAVE_FREQ = 5            # data_save_freq (config.py:86)
+PRED_LEN = 8             # future waypoints (2 s at 4 Hz, config.py:118)
+
+
+@struct.dataclass
+class Frames:
+  """Stacked training frames [F,B,...] (F = frames at 4 Hz)."""
+  ego_pos: jnp.ndarray       # [F,B,2]
+  ego_yaw: jnp.ndarray       # [F,B]
+  ego_speed: jnp.ndarray     # [F,B]
+  veh_pos: jnp.ndarray       # [F,B,V,2]
+  veh_yaw: jnp.ndarray
+  veh_speed: jnp.ndarray
+  veh_brake: jnp.ndarray
+  veh_extent: jnp.ndarray    # [F,B,V,2]
+  veh_valid: jnp.ndarray
+  wlk_pos: jnp.ndarray       # [F,B,W,2]
+  wlk_yaw: jnp.ndarray
+  wlk_speed: jnp.ndarray
+  wlk_extent: jnp.ndarray
+  wlk_valid: jnp.ndarray
+  target_point: jnp.ndarray  # [F,B,2] ego frame (sparse route)
+  dense_idx: jnp.ndarray     # [F,B] dense-planner pointer
+  steer: jnp.ndarray         # [F,B] expert action labels
+  throttle: jnp.ndarray
+  brake: jnp.ndarray
+  target_speed: jnp.ndarray  # [F,B] expert target speed (0 when braking)
+  junction: jnp.ndarray      # [F,B]
+  alive: jnp.ndarray         # [F,B] episode not done at this frame
+
+
+def collect_expert_frames(cfg: GlobalConfig, maps: MapStack,
+                          lanes: LaneGraph, scene: Scene, state: SimState,
+                          n_frames: int):
+  """Roll the expert for n_frames * SAVE_FREQ ticks, emitting one frame per
+  SAVE_FREQ ticks. Returns (final_state, Frames)."""
+
+  def frame_step(st: SimState, _):
+    for _ in range(SAVE_FREQ):
+      st = sim_step(cfg, maps, lanes, scene, st)
+    ex = st.expert
+    ego = st.ego
+    tp_world, _ = jax.vmap(
+        lambda pts, c, nv, i: route_lookup(pts, c, nv, i, 1))(
+        scene.route.sparse_points, scene.route.sparse_cmd,
+        scene.route.sparse_num_valid, ex.planner_sparse.idx)
+    frame = Frames(
+        ego_pos=ego.pos, ego_yaw=ego.yaw, ego_speed=ego.speed,
+        veh_pos=st.vehicles.pos, veh_yaw=st.vehicles.yaw,
+        veh_speed=st.vehicles.speed,
+        veh_brake=st.vehicles.control[..., 2],
+        veh_extent=st.vehicles.extent, veh_valid=st.vehicles.valid,
+        wlk_pos=st.walkers.pos, wlk_yaw=st.walkers.yaw,
+        wlk_speed=st.walkers.speed, wlk_extent=st.walkers.extent,
+        wlk_valid=st.walkers.valid,
+        target_point=geo.world_to_ego(tp_world, ego.pos, ego.yaw),
+        dense_idx=ex.planner_dense.idx,
+        steer=ex.steer, throttle=jnp.zeros_like(ex.steer),
+        brake=(ex.vehicle_hazard | ex.walker_hazard | ex.light_hazard |
+               ex.stop_sign_hazard).astype(jnp.float32),
+        target_speed=jnp.where(
+            ex.vehicle_hazard | ex.walker_hazard | ex.light_hazard |
+            ex.stop_sign_hazard, 0.0, ex.target_speed),
+        junction=ex.junction,
+        alive=~st.done)
+    return st, frame
+
+  final, frames = jax.lax.scan(frame_step, state, None, length=n_frames)
+  return final, frames
+
+
+def waypoint_labels(frames: Frames):
+  """Future ego positions in each frame's ego coordinates
+  (data.py:812-838 semantics): label[t, k] = pose(t+k+1) in frame(t),
+  k = 0..PRED_LEN-1. Frames within PRED_LEN of the end are masked.
+
+  Returns (wp [F,B,PRED_LEN,2], valid [F,B])."""
+  F = frames.ego_pos.shape[0]
+
+  def label_at(k):
+    fut = jnp.roll(frames.ego_pos, -(k + 1), axis=0)       # [F,B,2]
+    return geo.world_to_ego(fut, frames.ego_pos, frames.ego_yaw)
+
+  wp = jnp.stack([label_at(k) for k in range(PRED_LEN)], axis=2)
+  idx = jnp.arange(F)
+  has_future = idx < (F - PRED_LEN)
+  fut_alive = jnp.roll(frames.alive, -PRED_LEN, axis=0)
+  valid = frames.alive & fut_alive & has_future[:, None]
+  return wp, valid
+
+
+def target_speed_labels(frames: Frames, cfg: GlobalConfig):
+  """Class index 0..3 (0 = brake; bins at walker/slow/fast + 0.1,
+  config.py:144-148)."""
+  e = cfg.expert
+  ts = frames.target_speed
+  braking = frames.brake > 0.5
+  cls = jnp.where(ts <= e.target_speed_walker + 0.1, 1,
+                  jnp.where(ts <= e.target_speed_slow + 0.1, 2, 3))
+  return jnp.where(braking | (ts <= 0.01), 0, cls).astype(jnp.int32)

@@ -23,7 +23,10 @@ from carla_garage_tpu.sim.expert import Control, expert_step
 from carla_garage_tpu.sim.traffic import traffic_step, walker_step
 from carla_garage_tpu.structs import Scene, SimState
 
-# Control policy signature: (cfg, maps, scene, state, rng) -> (Control, ExpertState)
+# Control policy signature:
+#   (cfg, maps, scene, state, rng) -> (Control, dict of SimState field updates)
+# The expert returns {"expert": ExpertState}; learned agents return
+# {"agent": <their carry pytree>}.
 PolicyFn = Callable
 
 
@@ -40,7 +43,7 @@ def sim_step(cfg: GlobalConfig, maps: MapStack, lanes: LaneGraph,
              policy: PolicyFn = expert_step) -> SimState:
   """Advance the whole batch one tick."""
   rng, rng_step = jax.random.split(state.rng)
-  control, new_expert = policy(cfg, maps, scene, state, rng_step)
+  control, updates = policy(cfg, maps, scene, state, rng_step)
 
   # all agents advance simultaneously (world.tick semantics)
   pos, yaw, speed = bicycle_step(state.ego.pos, state.ego.yaw,
@@ -51,7 +54,7 @@ def sim_step(cfg: GlobalConfig, maps: MapStack, lanes: LaneGraph,
   new_wlk = walker_step(cfg, scene, state)
 
   moved = state.replace(ego=new_ego, vehicles=new_veh, walkers=new_wlk,
-                        expert=new_expert, tick=state.tick + 1)
+                        tick=state.tick + 1, **updates)
   new_criteria = criteria_step(cfg, maps, scene, state.ego.pos, moved)
   moved = moved.replace(criteria=new_criteria)
   moved = moved.replace(done=state.done | episode_done(cfg, moved))

@@ -85,19 +85,58 @@ def _pid_steer(pid_state: PIDState, pos, yaw, target, speed, brake, is_last,
   return new_state, jnp.clip(out, -1.0, 1.0), angle
 
 
+def _vehicle_forecast_parallel(cfg: GlobalConfig, veh, n_future: int):
+  """Constant-action bicycle rollout in closed form — no sequential scan.
+
+  With constant (steer, throttle, brake) the Euler recurrence
+    v_{t+1} = max(v_t + a dt, 0);  yaw_{t+1} = yaw_t + v_t k dt;
+    p_{t+1} = p_t + v_t dir(yaw_t + beta) dt
+  unrolls to cumulative sums over the horizon: v_t is an affine ramp
+  clipped at 0, yaw is a cumsum of v, positions a cumsum of headings.
+  Exactly equals the reference's sequential EgoModel loop
+  (autopilot.py:616-667) but runs as parallel VPU work.
+
+  Returns (loc [T,B,V,2], yaw [T,B,V]) at steps 1..T.
+  """
+  e, s = cfg.expert, cfg.sim
+  dt = 1.0 / e.bicycle_frame_rate
+  steer = veh.control[..., 0]
+  throttle = veh.control[..., 1]
+  brake = veh.control[..., 2] > 0.5
+  accel = jnp.where(brake, s.brake_accel, s.throt_accel * throttle)  # [B,V]
+  wheel = s.steer_gain * steer
+  beta = jnp.arctan(s.rear_wb / (s.front_wb + s.rear_wb) * jnp.tan(wheel))
+  k = jnp.sin(beta) / s.rear_wb
+
+  t = jnp.arange(n_future, dtype=jnp.float32)              # steps 0..T-1
+  # speed BEFORE each step t (v_0 = current speed)
+  v = jnp.maximum(veh.speed[None] + accel[None] * t[:, None, None] * dt, 0.0)
+  # yaw BEFORE each step: exclusive cumsum of v*k*dt
+  yaw_pre = veh.yaw[None] + (jnp.cumsum(v, 0) - v) * k[None] * dt
+  head = yaw_pre + beta[None]
+  dpos = v[..., None] * jnp.stack([jnp.cos(head), jnp.sin(head)], -1) * dt
+  loc = veh.pos[None] + jnp.cumsum(dpos, 0)                # pos AFTER step t
+  yaw_post = yaw_pre + v * k[None] * dt
+  return loc, yaw_post
+
+
 def _forecast(cfg: GlobalConfig, scene: Scene, state: SimState,
               planner_idx: jnp.ndarray):
-  """Joint closed-loop ego + constant-action vehicle forecast.
+  """Closed-loop ego forecast + Bremsweg safety box in ONE fused scan.
 
-  Returns per-future-step ego half-boxes and vehicle boxes
-  (autopilot.forcast_ego_agent:810-881 and the vehicle loop :556-679).
+  Re-designs autopilot.forcast_ego_agent:810-881 (ego rollout with
+  re-planned steering) and the Bremsweg box :744-772. The safety-box
+  rollout consumes future_steering[o-1] at step o in the reference — which
+  is exactly the value the fused scan computed in the previous iteration,
+  so both run in the same lax.scan and the horizon is traversed once.
 
   planner_idx [B]: dense-planner pointer AFTER this tick's advance (the
   reference syncs the extrapolation planner to it, autopilot.py:286-289).
   """
   e, s = cfg.expert, cfg.sim
   n_future = int(e.extrapolation_seconds * e.bicycle_frame_rate)       # 80
-  ego, veh = state.ego, state.vehicles
+  dt = 1.0 / e.bicycle_frame_rate
+  ego = state.ego
   ex = state.expert
   B = ego.yaw.shape[0]
   dpp = _dense_planner_params(cfg)
@@ -107,15 +146,31 @@ def _forecast(cfg: GlobalConfig, scene: Scene, state: SimState,
   _, throttle0, _ = _pid_throttle(ex.pid_speed, tgt_speed, ego.speed,
                                   jnp.zeros(B, bool), jnp.zeros(B, bool), cfg)
 
-  veh_action = veh.control                          # [B,V,3] constant action
+  # --- safety-box rollout bounds (autopilot.py:744-756) ---
+  tgt = jnp.maximum(tgt_speed, 1e-3)
+  bremsweg = ((ego.speed * 3.6) / 10.0) ** 2 / 2.0 + e.safety_box_safety_margin
+  idx_orient = (bremsweg / tgt * e.bicycle_frame_rate).astype(jnp.int32)
+  idx_margin = (1.0 / tgt * e.bicycle_frame_rate).astype(jnp.int32)
+  bound = jnp.minimum(idx_margin + idx_orient, n_future)       # [B]
 
-  def body(carry, t):
+  # The safety box steers with the PREVIOUS iteration's forecast steering;
+  # its steer input each iteration is simply the ego carry steer (steer_a),
+  # which at iteration o holds fut_steer[o-1] (init: ex.steer) — the exact
+  # reference semantics. Simplify body accordingly:
+  def body2(carry, o):
     (loc, yaw, spd, steer_a, throt_a, brake_a, pidx, ptw, psw,
-     vloc, vyaw, vspd) = carry
-    # ego closed-loop step
+     sb_loc, sb_yaw, sb_spd, sb_brake) = carry
+    sb_act_brake = sb_brake | (o >= idx_margin)
+    live = o < bound
+    nloc, nyaw, nspd = bicycle_step(
+        sb_loc, sb_yaw, sb_spd, steer_a, jnp.zeros(B),
+        sb_act_brake.astype(jnp.float32), s, dt=dt)
+    sb_loc = jnp.where(live[:, None], nloc, sb_loc)
+    sb_yaw = jnp.where(live, nyaw, sb_yaw)
+    sb_spd = jnp.where(live, nspd, sb_spd)
+
     loc, yaw, spd = bicycle_step(loc, yaw, spd, steer_a, throt_a,
-                                 brake_a.astype(jnp.float32), s,
-                                 dt=1.0 / e.bicycle_frame_rate)
+                                 brake_a.astype(jnp.float32), s, dt=dt)
     pl = jax.vmap(
         lambda i, pts, sl, nv, p: planner_step(
             PlannerState(idx=i, is_last=jnp.zeros((), bool)),
@@ -137,72 +192,29 @@ def _forecast(cfg: GlobalConfig, scene: Scene, state: SimState,
     brake_next = is_last
     fut_steer = jnp.where(brake_next, 0.0, steer)
 
-    # ego front/back half-boxes (extent.x halved, autopilot.py:855-876)
-    half_ex = jnp.array([s.ego_extent_x / 2.0, s.ego_extent_y])
     fwd = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)], -1)
     c_front = loc + fwd * (s.ego_extent_x / 2.0)
     c_back = loc - fwd * (s.ego_extent_x / 2.0)
 
-    # vehicles: constant-action bicycle step
-    vloc, vyaw, vspd = bicycle_step(
-        vloc, vyaw, vspd, veh_action[..., 0], veh_action[..., 1],
-        veh_action[..., 2], s, dt=1.0 / e.bicycle_frame_rate)
-
-    carry = (loc, yaw, spd, fut_steer, throttle,
-             brake_next, pidx2, ptw2.window, psw2.window, vloc, vyaw, vspd)
-    ys = (c_front, c_back, yaw, fut_steer, vloc, vyaw)
+    carry = (loc, yaw, spd, fut_steer, throttle, brake_next,
+             pidx2, ptw2.window, psw2.window,
+             sb_loc, sb_yaw, sb_spd, sb_act_brake)
+    ys = (c_front, c_back, yaw)
     return carry, ys
 
   init = (ego.pos, ego.yaw, ego.speed,
           ex.steer, throttle0, jnp.zeros(B, bool),
           planner_idx, ex.pid_turn.window, ex.pid_speed.window,
-          veh.pos, veh.yaw, veh.speed)
-  _, (cf, cb, eyaw, fsteer, vloc, vyaw) = jax.lax.scan(
-      body, init, jnp.arange(n_future))
+          jnp.zeros((B, 2)), jnp.zeros(B), tgt, jnp.zeros(B, bool))
+  final, (cf, cb, eyaw) = jax.lax.scan(body2, init, jnp.arange(n_future))
+  sb_loc, sb_yaw = final[9], final[10]
   half_ex = jnp.array([s.ego_extent_x / 2.0, s.ego_extent_y])
+  sb_center = geo.ego_to_world(sb_loc, ego.pos, ego.yaw)
+  sb_box_yaw = geo.normalize_angle(ego.yaw + sb_yaw)
+  sb_extent = jnp.array([s.ego_extent_x, s.ego_extent_y])
   return dict(ego_front=cf, ego_back=cb, ego_yaw=eyaw,       # [T,B,...]
-              ego_half_extent=half_ex, future_steering=fsteer,
-              veh_loc=vloc, veh_yaw=vyaw)                    # [T,B,V,...]
-
-
-def _safety_box(cfg: GlobalConfig, state: SimState,
-                future_steering: jnp.ndarray):
-  """Bremsweg emergency-brake box (autopilot.py:744-772): roll the ego
-  forward in its local frame at the previous target speed, braking after a
-  1-speed-normalized margin, steering along the forecast steering sequence.
-  Returns (center [B,2] world, yaw [B], extent [2])."""
-  e, s = cfg.expert, cfg.sim
-  n_future = int(e.extrapolation_seconds * e.bicycle_frame_rate)
-  B = state.ego.yaw.shape[0]
-  tgt = jnp.maximum(state.expert.target_speed, 1e-3)
-  ego_speed = state.ego.speed
-  bremsweg = ((ego_speed * 3.6) / 10.0) ** 2 / 2.0 + e.safety_box_safety_margin
-  idx_orient = (bremsweg / tgt * e.bicycle_frame_rate).astype(jnp.int32)
-  idx_margin = (1.0 / tgt * e.bicycle_frame_rate).astype(jnp.int32)
-  bound = jnp.minimum(idx_margin + idx_orient, n_future)       # [B]
-
-  def body(carry, o):
-    loc, yaw, spd, steer_a, brake_a = carry
-    act_brake = brake_a | (o >= idx_margin)
-    live = o < bound
-    nloc, nyaw, nspd = bicycle_step(loc, yaw, spd, steer_a,
-                                    jnp.zeros(B), act_brake.astype(jnp.float32),
-                                    s, dt=1.0 / e.bicycle_frame_rate)
-    loc = jnp.where(live[:, None], nloc, loc)
-    yaw = jnp.where(live, nyaw, yaw)
-    spd = jnp.where(live, nspd, spd)
-    idx = jnp.minimum(o, future_steering.shape[0] - 1)
-    steer_next = future_steering[idx]
-    steer_a = jnp.where(live, steer_next, steer_a)
-    return (loc, yaw, spd, steer_a, act_brake), None
-
-  init = (jnp.zeros((B, 2)), jnp.zeros(B), tgt,
-          state.expert.steer, jnp.zeros(B, bool))
-  (loc, yaw, _, _, _), _ = jax.lax.scan(body, init, jnp.arange(n_future))
-  center = geo.ego_to_world(loc, state.ego.pos, state.ego.yaw)
-  box_yaw = geo.normalize_angle(state.ego.yaw + yaw)
-  extent = jnp.array([s.ego_extent_x, s.ego_extent_y])
-  return center, box_yaw, extent
+              ego_half_extent=half_ex,
+              sb_center=sb_center, sb_yaw=sb_box_yaw, sb_extent=sb_extent)
 
 
 def expert_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
@@ -250,9 +262,10 @@ def expert_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
   stuck = (jnp.mean(veh.buf_vel, -1) < e.stuck_vel_threshold) & \
           (jnp.mean(veh.buf_throttle, -1) > e.stuck_throttle_threshold) & \
           (jnp.mean(veh.buf_brake, -1) < e.stuck_brake_threshold)   # [B,V]
-  vloc = jnp.where(stuck[None, :, :, None], fc['veh_loc'][0:1],
-                   fc['veh_loc'])                                   # [T,B,V,2]
-  vyaw = jnp.where(stuck[None], fc['veh_yaw'][0:1], fc['veh_yaw'])
+  veh_loc, veh_yaw_t = _vehicle_forecast_parallel(cfg, veh, T)
+  vloc = jnp.where(stuck[None, :, :, None], veh_loc[0:1],
+                   veh_loc)                                         # [T,B,V,2]
+  vyaw = jnp.where(stuck[None], veh_yaw_t[0:1], veh_yaw_t)
 
   # --- ego half-box vs vehicle intersections over future steps ---
   he = fc['ego_half_extent']
@@ -295,8 +308,8 @@ def expert_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
   rel = geo.world_to_ego(wlk.pos, ego.pos[:, None], ego.yaw[:, None])
   walker_close = jnp.any(wlk_near & (rel[..., 0] > s.ego_extent_x), axis=-1)
 
-  # --- Bremsweg safety box (autopilot.py:744-785) ---
-  sb_c, sb_yaw, sb_e = _safety_box(cfg, state, fc['future_steering'])
+  # --- Bremsweg safety box (computed inside the fused forecast scan) ---
+  sb_c, sb_yaw, sb_e = fc['sb_center'], fc['sb_yaw'], fc['sb_extent']
   sb_veh = geo.obb_intersect(sb_c[:, None], sb_yaw[:, None], sb_e[None, None],
                              veh.pos, veh.yaw, veh.extent) & veh_near
   vehicle_hazard |= jnp.any(sb_veh, -1)
@@ -371,7 +384,7 @@ def expert_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
   control = Control(steer=steer_noisy,
                     throttle=jnp.where(brake, 0.0, throttle),
                     brake=out_brake)
-  return control, new_ex
+  return control, {"expert": new_ex}
 
 
 def _sparse_seg_len(points: jnp.ndarray, num_valid: jnp.ndarray):

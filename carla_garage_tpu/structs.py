@@ -15,6 +15,8 @@ Shapes use these axis names:
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import struct
 
@@ -219,7 +221,11 @@ class CriteriaState:
 
 @struct.dataclass
 class SimState:
-  """Full per-tick simulation state for a batch of episodes."""
+  """Full per-tick simulation state for a batch of episodes.
+
+  `expert` is the privileged expert's carry; `agent` is an arbitrary pytree
+  carried for a learned policy (UKF, PID windows, buffers, params refs) —
+  empty tuple when the expert drives."""
   tick: jnp.ndarray         # [B] int32
   done: jnp.ndarray         # [B] bool
   ego: EgoState
@@ -228,6 +234,7 @@ class SimState:
   expert: ExpertState
   criteria: CriteriaState
   rng: jnp.ndarray          # [B,2] uint32 per-episode PRNG key
+  agent: Any = ()
 
   @property
   def time_s(self) -> jnp.ndarray:

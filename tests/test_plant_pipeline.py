@@ -1,0 +1,58 @@
+"""End-to-end object-level pipeline: expert datagen -> PlanT IL training ->
+closed-loop PlanT evaluation (BASELINE config 2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from carla_garage_tpu.agents.plant_agent import (make_plant_policy,
+                                                 plant_agent_reset)
+from carla_garage_tpu.config import DEFAULT_CONFIG as CFG
+from carla_garage_tpu.models.plant import PlanT, micro_plant
+from carla_garage_tpu.sim.datagen import collect_expert_frames
+from carla_garage_tpu.sim.episode import rollout
+from carla_garage_tpu.sim.scene_builder import make_synthetic_batch
+from carla_garage_tpu.train.plant_train import (build_plant_dataset,
+                                                train_plant)
+import dataclasses
+
+
+def micro_tokens_config():
+  # max_tokens must cover V + W + route segments
+  return dataclasses.replace(micro_plant(),
+                             max_tokens=CFG.sim.max_vehicles +
+                             CFG.sim.max_walkers + 12)
+
+
+def test_datagen_and_training_and_closed_loop():
+  pcfg = micro_tokens_config()
+  town, maps, lanes, scene, state = make_synthetic_batch(
+      CFG, batch=2, seed=2, n_vehicles=4, n_walkers=1)
+
+  # --- datagen: 60 frames = 300 ticks of expert driving ---
+  collect = jax.jit(lambda sc, st: collect_expert_frames(
+      CFG, maps, lanes, sc, st, n_frames=60))
+  final, frames = collect(scene, state)
+  assert frames.ego_pos.shape[:2] == (60, 2)
+  assert bool(jnp.any(frames.alive))
+
+  # --- dataset ---
+  ds = build_plant_dataset(CFG, pcfg, frames, scene)
+  assert len(ds) > 50, f"too few valid samples: {len(ds)}"
+  assert ds.tokens.shape[1] == pcfg.max_tokens
+  # waypoint labels should be mostly forward (x >= small negative)
+  assert float(np.mean(ds.wp_label[..., 0] > -1.0)) > 0.95
+
+  # --- a few training steps reduce the loss ---
+  model, params, hist = train_plant(CFG, pcfg, ds, steps=60, batch_size=32,
+                                    lr=1e-3, log_every=59)
+  assert hist[-1]["loss"] < hist[0]["loss"]
+
+  # --- closed loop with the (barely) trained model: must run, not crash ---
+  policy = make_plant_policy(model, params, pcfg)
+  state2 = state.replace(agent=plant_agent_reset(CFG, 2))
+  run = jax.jit(lambda sc, st: rollout(CFG, maps, lanes, sc, st, 50,
+                                       policy=policy))
+  out = run(scene, state2)
+  assert out.ego.pos.shape == (2, 2)
+  assert bool(jnp.all(out.tick == 50) | jnp.any(out.done))
