@@ -220,7 +220,15 @@ def sample_route_keypoints(town: SyntheticTown, rng: np.random.Generator,
   headings = np.array([[1, 0], [-1, 0], [0, 1], [0, -1]], np.float32)
   ix = rng.integers(0, len(town.xs))
   iy = rng.integers(0, len(town.ys))
-  h = headings[rng.integers(0, 4)]
+  node0 = np.array([town.xs[ix], town.ys[iy]], np.float32)
+  block0 = town.xs[1] - town.xs[0] if len(town.xs) > 1 else 120.0
+  # the first junction must be approachable from inside the grid: the
+  # spawn street (node - h*block) has to exist
+  ok = [hh for hh in headings
+        if (town.xs[0] - 1 <= (node0 - hh * block0)[0] <= town.xs[-1] + 1
+            and town.ys[0] - 1 <= (node0 - hh * block0)[1]
+            <= town.ys[-1] + 1)]
+  h = ok[rng.integers(0, len(ok))] if ok else headings[0]
 
   def right_of(v):
     return np.array([-v[1], v[0]], np.float32)

@@ -31,6 +31,9 @@ from carla_garage_tpu.structs import (Cmd, ExpertState, LightState, PIDState,
                                       PlannerState, Scene, SimState)
 
 
+REPLAN_EVERY = 4   # forecast re-plans steering every 4 frames (0.2 s)
+
+
 @struct.dataclass
 class Control:
   steer: jnp.ndarray     # [B]
@@ -154,23 +157,37 @@ def _forecast(cfg: GlobalConfig, scene: Scene, state: SimState,
   bound = jnp.minimum(idx_margin + idx_orient, n_future)       # [B]
 
   # The safety box steers with the PREVIOUS iteration's forecast steering;
-  # its steer input each iteration is simply the ego carry steer (steer_a),
-  # which at iteration o holds fut_steer[o-1] (init: ex.steer) — the exact
-  # reference semantics. Simplify body accordingly:
-  def body2(carry, o):
+  # its steer input each iteration is the ego carry steer (steer_a), which
+  # at iteration o holds fut_steer[o-1] (init: ex.steer) — the reference
+  # semantics. Latency optimization: the scan re-plans steering/throttle
+  # every REPLAN_EVERY frames (0.2 s) and integrates the bicycle in a
+  # fused unrolled block between re-plans — 4x fewer sequential scan
+  # iterations, boxes still emitted per frame.
+  K = REPLAN_EVERY
+  n_blocks = n_future // K
+
+  def body2(carry, blk):
     (loc, yaw, spd, steer_a, throt_a, brake_a, pidx, ptw, psw,
      sb_loc, sb_yaw, sb_spd, sb_brake) = carry
-    sb_act_brake = sb_brake | (o >= idx_margin)
-    live = o < bound
-    nloc, nyaw, nspd = bicycle_step(
-        sb_loc, sb_yaw, sb_spd, steer_a, jnp.zeros(B),
-        sb_act_brake.astype(jnp.float32), s, dt=dt)
-    sb_loc = jnp.where(live[:, None], nloc, sb_loc)
-    sb_yaw = jnp.where(live, nyaw, sb_yaw)
-    sb_spd = jnp.where(live, nspd, sb_spd)
+    cf_k, cb_k, yaw_k = [], [], []
+    for k in range(K):
+      o = blk * K + k
+      sb_brake = sb_brake | (o >= idx_margin)
+      live = o < bound
+      nloc, nyaw, nspd = bicycle_step(
+          sb_loc, sb_yaw, sb_spd, steer_a, jnp.zeros(B),
+          sb_brake.astype(jnp.float32), s, dt=dt)
+      sb_loc = jnp.where(live[:, None], nloc, sb_loc)
+      sb_yaw = jnp.where(live, nyaw, sb_yaw)
+      sb_spd = jnp.where(live, nspd, sb_spd)
 
-    loc, yaw, spd = bicycle_step(loc, yaw, spd, steer_a, throt_a,
-                                 brake_a.astype(jnp.float32), s, dt=dt)
+      loc, yaw, spd = bicycle_step(loc, yaw, spd, steer_a, throt_a,
+                                   brake_a.astype(jnp.float32), s, dt=dt)
+      fwd = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)], -1)
+      cf_k.append(loc + fwd * (s.ego_extent_x / 2.0))
+      cb_k.append(loc - fwd * (s.ego_extent_x / 2.0))
+      yaw_k.append(yaw)
+
     pl = jax.vmap(
         lambda i, pts, sl, nv, p: planner_step(
             PlannerState(idx=i, is_last=jnp.zeros((), bool)),
@@ -192,21 +209,20 @@ def _forecast(cfg: GlobalConfig, scene: Scene, state: SimState,
     brake_next = is_last
     fut_steer = jnp.where(brake_next, 0.0, steer)
 
-    fwd = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)], -1)
-    c_front = loc + fwd * (s.ego_extent_x / 2.0)
-    c_back = loc - fwd * (s.ego_extent_x / 2.0)
-
     carry = (loc, yaw, spd, fut_steer, throttle, brake_next,
              pidx2, ptw2.window, psw2.window,
-             sb_loc, sb_yaw, sb_spd, sb_act_brake)
-    ys = (c_front, c_back, yaw)
+             sb_loc, sb_yaw, sb_spd, sb_brake)
+    ys = (jnp.stack(cf_k), jnp.stack(cb_k), jnp.stack(yaw_k))
     return carry, ys
 
   init = (ego.pos, ego.yaw, ego.speed,
           ex.steer, throttle0, jnp.zeros(B, bool),
           planner_idx, ex.pid_turn.window, ex.pid_speed.window,
           jnp.zeros((B, 2)), jnp.zeros(B), tgt, jnp.zeros(B, bool))
-  final, (cf, cb, eyaw) = jax.lax.scan(body2, init, jnp.arange(n_future))
+  final, (cf, cb, eyaw) = jax.lax.scan(body2, init, jnp.arange(n_blocks))
+  cf = cf.reshape((n_future,) + cf.shape[2:])
+  cb = cb.reshape((n_future,) + cb.shape[2:])
+  eyaw = eyaw.reshape((n_future,) + eyaw.shape[2:])
   sb_loc, sb_yaw = final[9], final[10]
   half_ex = jnp.array([s.ego_extent_x / 2.0, s.ego_extent_y])
   sb_center = geo.ego_to_world(sb_loc, ego.pos, ego.yaw)
