@@ -77,6 +77,10 @@ class ExpertConfig:
   dense_route_planner_min_distance: float = 3.5
   dense_route_planner_max_distance: float = 50.0
   num_route_points_saved: int = 20
+  # Stuck/creep recovery (config.py:499-503)
+  stuck_threshold: int = 1100
+  creep_duration: int = 20
+  creep_throttle: float = 0.4
 
 
 @dataclasses.dataclass(frozen=True)
