@@ -1,0 +1,188 @@
+"""Batched benchmark evaluation — the leaderboard evaluator + SLURM farm
+replaced by on-chip batches.
+
+The reference evaluates Longest6 as 36 routes x 3 seeds = 108 SLURM GPU
+jobs, each with its own CARLA server (evaluate_routes_slurm.py:124-312).
+Here every route x repetition is one batch element; a town's whole route
+set runs as a single jitted chunked rollout. Records follow the
+StatisticsManager JSON layout (statistics_manager_local.py:33-57,
+:243-320) and the CSV summary mirrors tools/result_parser.py.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import time
+from collections import defaultdict
+
+import jax.numpy as jnp
+import numpy as np
+
+from carla_garage_tpu.config import GlobalConfig, longest6_config
+from carla_garage_tpu.maps import importer
+from carla_garage_tpu.sim.episode import rollout_chunked
+from carla_garage_tpu.sim.expert import expert_step
+from carla_garage_tpu.sim.scene_builder import (build_batch, compile_route,
+                                                make_synthetic_batch)
+from carla_garage_tpu.sim.scoring import compute_scores
+
+INFRACTION_KEYS = ("collisions_pedestrian", "collisions_vehicle",
+                   "collisions_layout", "red_light", "stop_infraction")
+
+
+def _route_lens(scene):
+  seg = np.asarray(scene.route.seg_len)
+  nv = np.asarray(scene.route.num_valid)
+  return np.array([seg[i, :nv[i]].sum() for i in range(len(nv))])
+
+
+def _records(cfg, scene, state, route_ids, town):
+  cr = state.criteria
+  lens = _route_lens(scene)
+  scores = compute_scores(cfg, cr, jnp.asarray(lens))
+  recs = []
+  counts = {
+      "collisions_pedestrian": np.asarray(cr.n_collision_walker),
+      "collisions_vehicle": np.asarray(cr.n_collision_vehicle),
+      "collisions_layout": np.asarray(cr.n_collision_static),
+      "red_light": np.asarray(cr.n_red_light),
+      "stop_infraction": np.asarray(cr.n_stop_sign),
+  }
+  for i, rid in enumerate(route_ids):
+    status = "Completed" if bool(scores.completed[i]) else "Failed"
+    if bool(cr.blocked[i]):
+      status += " - Agent got blocked"
+    elif bool(cr.timed_out[i]):
+      status += " - Agent timed out"
+    elif bool(cr.deviated[i]):
+      status += " - Agent deviated from the route"
+    recs.append({
+        "route_id": rid,
+        "town": town,
+        "index": i,
+        "status": status,
+        "infractions": {k: int(counts[k][i]) for k in INFRACTION_KEYS},
+        "scores": {
+            "score_route": float(scores.score_route[i]),
+            "score_penalty": float(scores.score_penalty[i]),
+            "score_composed": float(scores.score_composed[i]),
+        },
+        "meta": {"route_length": float(lens[i]),
+                 "duration_game": float(np.asarray(state.tick)[i]) / 20.0},
+    })
+  return recs
+
+
+def aggregate(records):
+  """compute_global_statistics analog (statistics_manager:210-241)."""
+  n = max(len(records), 1)
+  out = {
+      "driving_score": sum(r["scores"]["score_composed"]
+                           for r in records) / n,
+      "route_completion": sum(r["scores"]["score_route"]
+                              for r in records) / n,
+      "infraction_score": sum(r["scores"]["score_penalty"]
+                              for r in records) / n,
+      "num_routes": len(records),
+  }
+  for k in INFRACTION_KEYS:
+    km = sum(max(r["scores"]["score_route"] / 100.0 *
+                 r["meta"]["route_length"] / 1000.0, 1e-3)
+             for r in records)
+    out[f"{k}_per_km"] = sum(r["infractions"][k] for r in records) / km
+  return out
+
+
+def run_synthetic_benchmark(cfg: GlobalConfig = None, n_routes: int = 8,
+                            reps: int = 1, seed: int = 0,
+                            n_vehicles: int = 8, n_walkers: int = 2,
+                            max_ticks: int = 6000, policy=expert_step):
+  """Self-contained benchmark on the procedural town."""
+  cfg = cfg or longest6_config()
+  records = []
+  for rep in range(reps):
+    town, maps, lanes, scene, state = make_synthetic_batch(
+        cfg, batch=n_routes, seed=seed + 1000 * rep,
+        n_vehicles=n_vehicles, n_walkers=n_walkers)
+    final = rollout_chunked(cfg, maps, lanes, scene, state, max_ticks,
+                            chunk=512, policy=policy)
+    records += _records(cfg, scene, final,
+                        [f"synth_{i}_rep{rep}" for i in range(n_routes)],
+                        "SynthTown")
+  return records, aggregate(records)
+
+
+def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
+                        reps: int = 1, towns: list | None = None,
+                        n_vehicles: int = 8, n_walkers: int = 2,
+                        max_ticks: int = 60000, seed: int = 0,
+                        policy=expert_step, assets_root=None,
+                        verbose: bool = True):
+  """Run a real benchmark's routes (grouped per town) inside the TPU sim."""
+  cfg = cfg or (longest6_config() if benchmark == "longest6"
+                else GlobalConfig())
+  root = assets_root or importer.DEFAULT_ASSETS
+  routes = importer.load_benchmark_routes(benchmark, root)
+  by_town = defaultdict(list)
+  for r in routes:
+    if towns is None or r.town in towns:
+      by_town[r.town].append(r)
+
+  records = []
+  for town_name, town_routes in sorted(by_town.items()):
+    t0 = time.time()
+    imported = importer.load_town(town_name, root, rng_seed=seed)
+    eps, ids, polys = [], [], []
+    # compile once, reuse across reps
+    compiled = []
+    town_adapter = importer.as_synthetic_town(imported, [
+        r.keypoints_xy for r in town_routes])
+    for r in town_routes:
+      ep = compile_route(town_adapter, r.keypoints_xy, r.keypoints_yaw)
+      compiled.append(ep)
+      polys.append(ep.dense)
+    town_adapter = importer.as_synthetic_town(imported, polys)
+    for rep in range(reps):
+      for r, ep in zip(town_routes, compiled):
+        eps.append(ep)
+        ids.append(f"{r.route_id}_rep{rep}")
+    maps, lanes, scene, state = build_batch(
+        cfg, town_adapter, eps, seed=seed, n_vehicles=n_vehicles,
+        n_walkers=n_walkers)
+    final = rollout_chunked(cfg, maps, lanes, scene, state, max_ticks,
+                            chunk=1024)
+    recs = _records(cfg, scene, final, ids, town_name)
+    records += recs
+    if verbose:
+      ds = np.mean([x["scores"]["score_composed"] for x in recs])
+      print(f"{town_name}: {len(recs)} episodes, DS {ds:.1f}, "
+            f"{time.time() - t0:.0f}s", flush=True)
+  return records, aggregate(records)
+
+
+def write_endpoint(records, global_stats, path: str):
+  """Leaderboard-style results JSON (checkpoint endpoint layout)."""
+  data = {"_checkpoint": {"records": records,
+                          "global_record": global_stats},
+          "values": [global_stats["driving_score"],
+                     global_stats["route_completion"],
+                     global_stats["infraction_score"]],
+          "labels": ["Avg. driving score", "Avg. route completion",
+                     "Avg. infraction penalty"]}
+  with open(path, "w") as f:
+    json.dump(data, f, indent=2)
+
+
+def write_csv(records, path: str):
+  """Per-route CSV summary (result_parser.py analog)."""
+  with open(path, "w", newline="") as f:
+    w = csv.writer(f)
+    w.writerow(["route_id", "town", "status", "DS", "RC", "IS"] +
+               list(INFRACTION_KEYS))
+    for r in records:
+      w.writerow([r["route_id"], r["town"], r["status"],
+                  f"{r['scores']['score_composed']:.2f}",
+                  f"{r['scores']['score_route']:.2f}",
+                  f"{r['scores']['score_penalty']:.3f}"] +
+                 [r["infractions"][k] for k in INFRACTION_KEYS])

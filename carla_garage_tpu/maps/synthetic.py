@@ -54,9 +54,16 @@ class SyntheticTown:
   ys: np.ndarray
 
   def in_junction(self, points: np.ndarray) -> np.ndarray:
-    """points [N,2] -> bool [N], inside any junction square."""
-    d = np.abs(points[:, None, :] - self.junction_centers[None])
-    return np.any(np.all(d <= self.junction_half, -1), -1)
+    """points [N,2] -> bool [N]: junction squares if known, else the
+    raster JUNCTION channel (imported towns)."""
+    if len(self.junction_centers):
+      d = np.abs(points[:, None, :] - self.junction_centers[None])
+      return np.any(np.all(d <= self.junction_half, -1), -1)
+    p = ((points - self.world_offset) * self.ppm).astype(np.int64)
+    h, w = self.raster.shape[1:]
+    px = np.clip(p[:, 0], 0, w - 1)
+    py = np.clip(p[:, 1], 0, h - 1)
+    return self.raster[Layer.JUNCTION, py, px] > 0
 
 
 def _band(mask, grid_x, grid_y, axis_coord, center, half, lo, hi):
@@ -182,8 +189,11 @@ def make_town(n_x: int = 4, n_y: int = 4, block: float = 120.0,
     elif (b, a) in index:
       succ[i].append(index[(b, a)])
 
+  from scipy import ndimage
+  off = ~(road | sidewalk)
+  obstacle = ndimage.binary_erosion(off, iterations=int(2.5 * ppm))
   raster = np.stack([road, sidewalk, lane_all, lane_broken, stopline,
-                     junction]).astype(np.uint8) * 255
+                     junction, obstacle]).astype(np.uint8) * 255
   assert raster.shape[0] == Layer.NUM
 
   if lights:

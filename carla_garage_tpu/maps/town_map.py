@@ -25,7 +25,8 @@ class Layer:
   LANE_MARKING_BROKEN = 3
   STOPLINE = 4
   JUNCTION = 5
-  NUM = 6
+  OBSTACLE = 6     # solid static geometry (buildings): off-map eroded ~2.5 m
+  NUM = 7
 
 
 @struct.dataclass

@@ -90,10 +90,14 @@ def criteria_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
   ov_w = geo.obb_intersect(
       ego.pos[:, None], ego.yaw[:, None], ego_e[None, None],
       wlk.pos, wlk.yaw, wlk.extent) & wlk.valid                    # [B,W]
+  # Layout collision: ego touches solid static geometry (the OBSTACLE
+  # layer = off-map eroded ~2.5 m, i.e. buildings/walls). Grazing curbs or
+  # grass is an outside-lane event, matching the reference's
+  # collision-sensor semantics (meshes only).
   corners = geo.box_corners(ego.pos, ego.yaw, ego_e[None])         # [B,4,2]
-  c_road = maps.sample(scene.town_id[:, None], Layer.ROAD, corners)
-  c_walk = maps.sample(scene.town_id[:, None], Layer.SIDEWALK, corners)
-  ov_s = jnp.any(~(c_road | c_walk), -1)          # off road+sidewalk = layout
+  probe = jnp.concatenate([corners, ego.pos[:, None]], 1)
+  ov_s = jnp.any(maps.sample(scene.town_id[:, None], Layer.OBSTACLE,
+                             probe), -1)
   new_v = jnp.sum(ov_v & ~cr.veh_overlap, -1).astype(jnp.int32)
   new_w = jnp.sum(ov_w & ~cr.wlk_overlap, -1).astype(jnp.int32)
   new_s = (ov_s & ~cr.static_overlap).astype(jnp.int32)

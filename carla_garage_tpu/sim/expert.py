@@ -366,9 +366,15 @@ def expert_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
 
   brake = vehicle_hazard | light_hazard | walker_hazard | stop_sign_hazard
 
-  # --- junction + target speed (autopilot.py:274-283) ---
+  # --- junction + target speed (autopilot.py:274-283): raster layer OR
+  # the compiled route's junction flag at the current route point ---
   junction = maps.sample(scene.town_id[:, None], Layer.JUNCTION,
                          ego.pos[:, None])[:, 0]
+  route_junc = jnp.take_along_axis(
+      scene.route.is_junction,
+      jnp.clip(pl_dense.idx, 0, scene.route.points.shape[1] - 1)[:, None],
+      1)[:, 0]
+  junction = junction | route_junc
   target_speed = jnp.where(
       walker_close | stop_sign_close, e.target_speed_walker,
       jnp.where(junction, e.target_speed_slow, e.target_speed_fast))

@@ -56,8 +56,8 @@ def planner_step(state: PlannerState, points: jnp.ndarray,
   score = jnp.where(eligible, d, -jnp.inf)
   best = jnp.argmax(score)                              # first max on ties
   to_pop = jnp.where(jnp.any(eligible), w[best], 0)
-  # keep at least 3 un-popped points (reference pops only while len > 2)
-  max_pop = jnp.maximum(remaining - 3, 0)
+  # reference pops while len > 2, so the minimum remaining length is 2
+  max_pop = jnp.maximum(remaining - 2, 0)
   new_idx = state.idx + jnp.minimum(to_pop, max_pop)
   is_last = (num_valid - new_idx) <= 2
   return PlannerState(idx=new_idx.astype(jnp.int32), is_last=is_last)

@@ -18,7 +18,8 @@ import numpy as np
 from carla_garage_tpu.config import GlobalConfig
 from carla_garage_tpu.maps import routing
 from carla_garage_tpu.maps.synthetic import SyntheticTown, sample_route_keypoints
-from carla_garage_tpu.maps.town_map import LaneGraph, MapStack, stack_towns
+from carla_garage_tpu.maps.town_map import (LaneGraph, Layer, MapStack,
+                                             stack_towns)
 from carla_garage_tpu.structs import (CriteriaState, EgoState, ExpertState,
                                       PIDState, PlannerState, Route, Scene,
                                       SimState, StopSigns, TrafficLights,
@@ -42,10 +43,69 @@ class HostEpisode:
   length_m: float
 
 
+def curvature_junction_flags(dense: np.ndarray, window_m: float = 8.0,
+                             thresh_deg: float = 14.0) -> np.ndarray:
+  """Mark route points in significant turns as junction-like. Robust
+  junction signal for imported towns whose rasters lack a junction layer
+  (the reference reads is_junction from the OpenDRIVE map,
+  autopilot.py:274-275)."""
+  n = len(dense)
+  w = int(window_m)
+  yaws = np.arctan2(*np.diff(dense, axis=0).T[::-1])
+  yaws = np.concatenate([yaws, yaws[-1:]])
+  a0 = yaws[np.maximum(np.arange(n) - w, 0)]
+  a1 = yaws[np.minimum(np.arange(n) + w, n - 1)]
+  dyaw = np.degrees(np.abs(np.arctan2(np.sin(a1 - a0), np.cos(a1 - a0))))
+  return dyaw > thresh_deg
+
+
+_SNAP_CACHE: dict = {}
+
+
+def snap_to_road(dense: np.ndarray, town: SyntheticTown) -> np.ndarray:
+  """Project off-road route points onto the nearest drivable pixel.
+
+  Hermite arcs can overshoot sharp junction corners by a few meters where
+  the true lane geometry is tighter; CARLA's GlobalRoutePlanner follows
+  lane centerlines exactly. Uses a cached nearest-road-pixel index map
+  (distance transform) per town raster.
+  """
+  from scipy import ndimage
+  key = id(town.raster)
+  clearance_px = int(1.5 * town.ppm)     # keep >= 1.5 m from the road edge
+  if key not in _SNAP_CACHE:
+    road = town.raster[Layer.ROAD] > 0
+    inside = ndimage.distance_transform_edt(road)
+    deep = inside >= clearance_px
+    _, (iy, ix) = ndimage.distance_transform_edt(~deep,
+                                                 return_indices=True)
+    _SNAP_CACHE[key] = (inside, ix, iy)
+  inside, ix, iy = _SNAP_CACHE[key]
+  p = ((dense - town.world_offset) * town.ppm)
+  px = np.clip(np.round(p[:, 0]).astype(int), 0, inside.shape[1] - 1)
+  py = np.clip(np.round(p[:, 1]).astype(int), 0, inside.shape[0] - 1)
+  off = inside[py, px] < clearance_px
+  if off.any():
+    sx = ix[py[off], px[off]]
+    sy = iy[py[off], px[off]]
+    dense = dense.copy()
+    dense[off, 0] = (sx + 0.5) / town.ppm + town.world_offset[0]
+    dense[off, 1] = (sy + 0.5) / town.ppm + town.world_offset[1]
+    # light smoothing so the PID tracks the adjusted arc cleanly
+    k = 5
+    pad = np.concatenate([dense[:1].repeat(k // 2, 0), dense,
+                          dense[-1:].repeat(k // 2, 0)])
+    kernel = np.ones((k,)) / k
+    dense = np.stack([np.convolve(pad[:, 0], kernel, mode="valid"),
+                      np.convolve(pad[:, 1], kernel, mode="valid")], -1)
+  return dense.astype(np.float32)
+
+
 def compile_route(town: SyntheticTown, keypoints_xy: np.ndarray,
                   keypoints_yaw: np.ndarray) -> HostEpisode:
   dense = routing.interpolate_keypoints(keypoints_xy, keypoints_yaw)
-  junc = town.in_junction(dense)
+  dense = snap_to_road(dense, town)
+  junc = town.in_junction(dense) | curvature_junction_flags(dense)
   cmd = routing.classify_commands(dense, junc)
   sparse, sparse_cmd = routing.downsample_route(dense, cmd)
   length = float(np.linalg.norm(np.diff(dense, axis=0), axis=-1).sum())

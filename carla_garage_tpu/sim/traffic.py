@@ -88,11 +88,14 @@ def traffic_step(cfg: GlobalConfig, lanes: LaneGraph, scene: Scene,
   yaw = jnp.where(veh.valid, yaw, veh.yaw)
   speed = jnp.where(veh.valid, speed, 0.0)
 
-  # --- lane progress + successor hand-off ---
+  # --- lane progress + successor hand-off; despawn at dead ends ---
+  # (CARLA's TrafficManager recycles vehicles that leave the area)
   lane_t = veh.lane_t + speed * s.dt
   total = lanes.total_len[veh.lane_id]
   nxt = lanes.successor[veh.lane_id, 0]
   wrap = (lane_t >= total) & (nxt >= 0)
+  despawn = (lane_t >= total - 1.0) & (nxt < 0)
+  valid = veh.valid & ~despawn
   lane_id = jnp.where(wrap, nxt, veh.lane_id)
   lane_t = jnp.where(wrap, lane_t - total, jnp.minimum(lane_t, total))
 
@@ -101,7 +104,7 @@ def traffic_step(cfg: GlobalConfig, lanes: LaneGraph, scene: Scene,
     return jnp.concatenate([buf[..., 1:], v[..., None]], -1)
 
   return veh.replace(
-      pos=pos, yaw=yaw, speed=speed,
+      pos=pos, yaw=yaw, speed=speed, valid=valid,
       control=jnp.stack([steer, throttle, brake.astype(jnp.float32)], -1),
       buf_vel=push(veh.buf_vel, speed),
       buf_throttle=push(veh.buf_throttle, throttle),
