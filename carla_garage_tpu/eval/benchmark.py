@@ -149,7 +149,7 @@ def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
         ids.append(f"{r.route_id}_rep{rep}")
     maps, lanes, scene, state = build_batch(
         cfg, town_adapter, eps, seed=seed, n_vehicles=n_vehicles,
-        n_walkers=n_walkers)
+        n_walkers=n_walkers, npc_lane_per_episode=True)
     final = rollout_chunked(cfg, maps, lanes, scene, state, max_ticks,
                             chunk=1024)
     recs = _records(cfg, scene, final, ids, town_name)

@@ -17,6 +17,138 @@ import numpy as np
 from carla_garage_tpu.structs import Cmd
 
 
+class RoadRouter:
+  """Dijkstra router over a downsampled road-occupancy grid.
+
+  The reference traces routes along the OpenDRIVE lane graph via CARLA's
+  C++ GlobalRoutePlanner. With only rasters available, long gaps between
+  route keypoints are routed across the drivable surface: 8-connected grid
+  graph on ~2 m cells, edge costs favoring the road interior.
+  """
+
+  def __init__(self, road_mask, ppm: float, world_offset, stride: int = 8):
+    from scipy import ndimage, sparse
+    H, W = road_mask.shape
+    h, w = H // stride, W // stride
+    grid = road_mask[:h * stride, :w * stride].reshape(
+        h, stride, w, stride).max((1, 3)) > 0
+    inside = ndimage.distance_transform_edt(road_mask)[
+        stride // 2::stride, stride // 2::stride][:h, :w] / ppm
+    self.stride, self.ppm = stride, ppm
+    self.world_offset = np.asarray(world_offset, np.float64)
+    self.grid = grid
+    self.h, self.w = h, w
+    ids = -np.ones((h, w), np.int64)
+    ys, xs = np.nonzero(grid)
+    ids[ys, xs] = np.arange(len(xs))
+    self.ids = ids
+    self.cell_yx = np.stack([ys, xs], -1)
+    # interior preference: hugging the edge costs up to 3x
+    node_pen = 1.0 + 2.0 * np.clip(1.0 - inside[ys, xs] / 3.0, 0.0, 1.0)
+    rows, cols, vals = [], [], []
+    cell_m = stride / ppm
+    for dy in (-1, 0, 1):
+      for dx in (-1, 0, 1):
+        if dx == 0 and dy == 0:
+          continue
+        ys2, xs2 = ys + dy, xs + dx
+        ok = (ys2 >= 0) & (ys2 < h) & (xs2 >= 0) & (xs2 < w)
+        ok[ok] &= grid[ys2[ok], xs2[ok]]
+        src = ids[ys[ok], xs[ok]]
+        dst = ids[ys2[ok], xs2[ok]]
+        cost = np.hypot(dx, dy) * cell_m * 0.5 * (
+            node_pen[src] + node_pen[dst])
+        rows.append(src)
+        cols.append(dst)
+        vals.append(cost)
+    n = len(xs)
+    self.graph = sparse.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows),
+                                np.concatenate(cols))), shape=(n, n))
+
+  def _node(self, xy):
+    p = (np.asarray(xy, np.float64) - self.world_offset) * self.ppm
+    cx = int(np.clip(p[0] // self.stride, 0, self.w - 1))
+    cy = int(np.clip(p[1] // self.stride, 0, self.h - 1))
+    if self.ids[cy, cx] >= 0:
+      return int(self.ids[cy, cx])
+    # nearest road cell within a small window
+    best, bd = -1, 1e18
+    r = 4
+    for yy in range(max(cy - r, 0), min(cy + r + 1, self.h)):
+      for xx in range(max(cx - r, 0), min(cx + r + 1, self.w)):
+        if self.ids[yy, xx] >= 0:
+          d = (yy - cy) ** 2 + (xx - cx) ** 2
+          if d < bd:
+            bd, best = d, int(self.ids[yy, xx])
+    return best
+
+  def route(self, a_xy, b_xy):
+    """Road path between two world points -> [N,2] world coords or None."""
+    from scipy.sparse import csgraph
+    a, b = self._node(a_xy), self._node(b_xy)
+    if a < 0 or b < 0:
+      return None
+    _, pred = csgraph.dijkstra(self.graph, indices=a,
+                               return_predecessors=True)
+    if pred[b] < 0 and a != b:
+      return None
+    path = [b]
+    while path[-1] != a:
+      nxt = pred[path[-1]]
+      if nxt < 0:
+        break
+      path.append(int(nxt))
+    path = path[::-1]
+    yx = self.cell_yx[path]
+    xy = (yx[:, ::-1] + 0.5) * self.stride / self.ppm
+    return (xy + self.world_offset).astype(np.float32)
+
+
+def interpolate_keypoints_routed(xy: np.ndarray, yaw: np.ndarray,
+                                 router: "RoadRouter | None",
+                                 hop: float = 1.0,
+                                 gap_threshold: float = 35.0) -> np.ndarray:
+  """interpolate_keypoints, but long keypoint gaps follow the road via the
+  router instead of a blind Hermite arc (roads curve between distant
+  keypoints; the reference's GRP follows the lane graph)."""
+  pieces = []
+  for i in range(len(xy) - 1):
+    p0, p1 = xy[i], xy[i + 1]
+    d = np.linalg.norm(p1 - p0)
+    if d < 1e-6:
+      continue
+    path = None
+    if router is not None and d > gap_threshold:
+      path = router.route(p0, p1)
+      if path is not None and len(path) >= 3:
+        # drop endpoints (replaced by exact keypoints), light smoothing
+        mid = path[1:-1].astype(np.float64)
+        if len(mid) >= 5:
+          k = np.ones(3) / 3
+          mid[:, 0] = np.convolve(mid[:, 0], k, mode="same") * 1.0 + 0.0
+          mid[:, 1] = np.convolve(mid[:, 1], k, mode="same")
+          mid[0] = path[1]
+          mid[-1] = path[-2]
+        pieces.append(np.concatenate([[p0], mid], 0).astype(np.float32))
+        continue
+    t0 = d * np.array([np.cos(yaw[i]), np.sin(yaw[i])])
+    t1 = d * np.array([np.cos(yaw[i + 1]), np.sin(yaw[i + 1])])
+    pieces.append(hermite_segment(p0, t0, p1, t1,
+                                  max(int(d / hop) * 8, 8)).astype(
+        np.float32))
+  pieces.append(xy[-1:])
+  fine = np.concatenate(pieces, 0)
+  seg = np.linalg.norm(np.diff(fine, axis=0), axis=-1)
+  arc = np.concatenate([[0.0], np.cumsum(seg)])
+  total = arc[-1]
+  n_out = max(int(np.floor(total / hop)) + 1, 2)
+  targets = np.arange(n_out) * hop
+  out = np.stack([np.interp(targets, arc, fine[:, 0]),
+                  np.interp(targets, arc, fine[:, 1])], -1)
+  return out.astype(np.float32)
+
+
 def hermite_segment(p0, t0, p1, t1, n):
   """Cubic Hermite curve samples (excluding endpoint). p,t [2]; n samples."""
   s = np.linspace(0.0, 1.0, n, endpoint=False)[:, None]

@@ -94,8 +94,12 @@ class LaneGraph:
   @staticmethod
   def from_polylines(polys: list[np.ndarray],
                      successors: list[list[int]],
-                     max_points: int = 256, max_succ: int = 4) -> "LaneGraph":
+                     max_points: int | None = None,
+                     max_succ: int = 4) -> "LaneGraph":
     n = len(polys)
+    if max_points is None:   # fit the longest polyline (rounded up)
+      longest = max(len(p) for p in polys) if polys else 2
+      max_points = max(-(-longest // 64) * 64, 64)
     pts = np.zeros((n, max_points, 2), np.float32)
     nv = np.zeros((n,), np.int32)
     suc = -np.ones((n, max_succ), np.int32)

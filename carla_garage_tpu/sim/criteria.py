@@ -72,7 +72,13 @@ def criteria_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
   passed_len = jnp.sum(jnp.where(mask_r & cum_mask, seg, 0.0), -1)
   completion = jnp.clip(passed_len / jnp.maximum(total_len, 1e-3), 0.0, 1.0)
   at_end = new_idx >= (scene.route.num_valid - 2)
-  completion = jnp.where(at_end, 1.0, completion)
+  # the leaderboard grants completion when the ego reaches the goal area
+  # (RouteCompletion DISTANCE_THRESHOLD at the final waypoint)
+  R_last = jnp.clip(scene.route.num_valid - 1, 0, R - 1)
+  goal = jnp.take_along_axis(scene.route.points, R_last[:, None, None], 1)
+  near_goal = jnp.linalg.norm(goal[:, 0] - ego.pos, axis=-1) < \
+      ROUTE_MATCH_DIST
+  completion = jnp.where(at_end | near_goal, 1.0, completion)
   min_d = jnp.min(jnp.where(in_route, d, jnp.inf), -1)
   deviated = cr.deviated | (min_d > c.route_deviation_m)
 

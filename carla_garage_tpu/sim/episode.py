@@ -42,15 +42,25 @@ def sim_step(cfg: GlobalConfig, maps: MapStack, lanes: LaneGraph,
              scene: Scene, state: SimState,
              policy: PolicyFn = expert_step) -> SimState:
   """Advance the whole batch one tick."""
-  rng, rng_step = jax.random.split(state.rng)
+  rng, rng_step, rng_scn = jax.random.split(state.rng, 3)
   control, updates = policy(cfg, maps, scene, state, rng_step)
+
+  # scenario triggers + effects (srunner behavior-tree analog)
+  effects = None
+  if scene.scenarios != () and state.scenario != ():
+    from carla_garage_tpu.sim.scenarios import scenario_step
+    new_scn, effects = scenario_step(cfg, scene.scenarios, state.scenario,
+                                     state, rng_scn)
+    control = control.replace(steer=control.steer +
+                              effects["steer_noise"])
+    updates = dict(updates, scenario=new_scn)
 
   # all agents advance simultaneously (world.tick semantics)
   pos, yaw, speed = bicycle_step(state.ego.pos, state.ego.yaw,
                                  state.ego.speed, control.steer,
                                  control.throttle, control.brake, cfg.sim)
   new_ego = state.ego.replace(pos=pos, yaw=normalize_angle(yaw), speed=speed)
-  new_veh = traffic_step(cfg, lanes, scene, state)
+  new_veh = traffic_step(cfg, lanes, scene, state, effects)
   new_wlk = walker_step(cfg, scene, state)
 
   moved = state.replace(ego=new_ego, vehicles=new_veh, walkers=new_wlk,

@@ -101,9 +101,23 @@ def snap_to_road(dense: np.ndarray, town: SyntheticTown) -> np.ndarray:
   return dense.astype(np.float32)
 
 
+_ROUTER_CACHE: dict = {}
+
+
+def _road_router(town: SyntheticTown):
+  key = id(town.raster)
+  if key not in _ROUTER_CACHE:
+    _ROUTER_CACHE[key] = routing.RoadRouter(
+        town.raster[Layer.ROAD] > 0, town.ppm, town.world_offset)
+  return _ROUTER_CACHE[key]
+
+
 def compile_route(town: SyntheticTown, keypoints_xy: np.ndarray,
-                  keypoints_yaw: np.ndarray) -> HostEpisode:
-  dense = routing.interpolate_keypoints(keypoints_xy, keypoints_yaw)
+                  keypoints_yaw: np.ndarray,
+                  use_router: bool = True) -> HostEpisode:
+  router = _road_router(town) if use_router else None
+  dense = routing.interpolate_keypoints_routed(keypoints_xy, keypoints_yaw,
+                                               router)
   dense = snap_to_road(dense, town)
   junc = town.in_junction(dense) | curvature_junction_flags(dense)
   cmd = routing.classify_commands(dense, junc)
@@ -115,7 +129,8 @@ def compile_route(town: SyntheticTown, keypoints_xy: np.ndarray,
 
 def build_batch(cfg: GlobalConfig, town: SyntheticTown,
                 episodes: list[HostEpisode], seed: int = 0,
-                n_vehicles: int = 8, n_walkers: int = 2):
+                n_vehicles: int = 8, n_walkers: int = 2,
+                npc_lane_per_episode: bool = False):
   """Returns (MapStack, LaneGraph, Scene, SimState) for a batch of episodes
   in one town."""
   rng = np.random.default_rng(seed)
@@ -200,7 +215,9 @@ def build_batch(cfg: GlobalConfig, town: SyntheticTown,
     for _ in range(n_vehicles * 8):
       if placed >= min(n_vehicles, V):
         break
-      li = rng.integers(0, n_lanes)
+      # imported towns: keep each episode's NPCs on its own route lane so
+      # opposite-direction lane overlaps can't deadlock head-on
+      li = b % n_lanes if npc_lane_per_episode else rng.integers(0, n_lanes)
       poly = town.lane_polys[li]
       seg_ln = np.linalg.norm(np.diff(poly, axis=0), axis=-1)
       total = seg_ln.sum()

@@ -26,8 +26,10 @@ LIGHT_STOP_DIST = 5.0
 
 
 def traffic_step(cfg: GlobalConfig, lanes: LaneGraph, scene: Scene,
-                 state: SimState) -> VehicleStates:
-  """Advance all NPC vehicles one tick."""
+                 state: SimState, effects: dict | None = None
+                 ) -> VehicleStates:
+  """Advance all NPC vehicles one tick. `effects` carries scenario
+  overrides (sim/scenarios.py): forced braking and speed caps per slot."""
   s = cfg.sim
   veh = state.vehicles
   B, V = veh.yaw.shape
@@ -75,9 +77,16 @@ def traffic_step(cfg: GlobalConfig, lanes: LaneGraph, scene: Scene,
   near_end = (total_here - veh.lane_t) < 12.0
   dead_end = lanes.successor[veh.lane_id, 0] < 0
   target_speed = jnp.where(near_end, 2.0, NPC_TARGET_SPEED)
+  if effects is not None:
+    target_speed = jnp.minimum(target_speed, effects["npc_speed_cap"])
   desired_gap = SAFE_MIN_GAP + veh.speed * SAFE_TIME_HEADWAY
+  # dead-end lanes: slow down (near_end cap) and drive to the end, where
+  # the despawn below removes the vehicle — braking to a stop here would
+  # park a permanent roadblock on the lane
   brake = (gap < desired_gap) | light_block | \
-      (near_end & dead_end) | (veh.speed > target_speed + 0.5)
+      (veh.speed > target_speed + 0.5)
+  if effects is not None:
+    brake = brake | effects["npc_brake_override"]
   throttle = jnp.where(veh.speed < target_speed, 0.6, 0.0)
   throttle = jnp.where(brake, 0.0, throttle)
 
@@ -124,7 +133,12 @@ def walker_step(cfg: GlobalConfig, scene: Scene, state: SimState):
   speed = jnp.where(walking, spec.walk_speed, 0.0)
   pos = wlk.pos + wlk.direction * (speed * s.dt)[..., None]
   walked = wlk.walked_m + speed * s.dt
-  in_radius = wlk.valid & (d_ego < cfg.expert.detection_radius)
+  # the crossing scenario destroys its walker once the cross completes
+  # (object_crash_vehicle.py behavior-tree end) — otherwise it would stand
+  # in the road and block traffic forever
+  finished = active & (walked >= spec.cross_dist)
+  valid = wlk.valid & ~finished
+  in_radius = valid & (d_ego < cfg.expert.detection_radius)
   seen = wlk.seen_frames + in_radius.astype(jnp.int32)
   return wlk.replace(pos=pos, speed=speed, active=active, walked_m=walked,
-                     seen_frames=seen)
+                     seen_frames=seen, valid=valid)

@@ -235,6 +235,7 @@ class SimState:
   criteria: CriteriaState
   rng: jnp.ndarray          # [B,2] uint32 per-episode PRNG key
   agent: Any = ()
+  scenario: Any = ()        # ScenarioState when scenarios are attached
 
   @property
   def time_s(self) -> jnp.ndarray:
@@ -255,3 +256,4 @@ class Scene:
   stops: StopSigns          # [B,S...]
   walkers_spec: WalkerSpec  # [B,W...]
   timeout_ticks: jnp.ndarray  # [B] int32 per-route budget (0.8 s/m + 5 s)
+  scenarios: Any = ()       # ScenarioSpecs when scenarios are attached

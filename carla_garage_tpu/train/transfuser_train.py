@@ -1,0 +1,268 @@
+"""TransFuser++ imitation-learning training — sensors rendered on device.
+
+Replaces the reference's disk pipeline (jpg/laz files + DataLoader workers,
+data.py:238-696) and train.py's DDP loop for the sensor-fusion model:
+training frames come from expert rollouts; camera, LiDAR and all label
+channels (semantic, depth, BEV semantics, CenterNet targets) are rendered
+ON DEVICE at the recorded poses. Loss assembly mirrors
+model.compute_loss (model.py:394-445) with train.py's normalized loss
+weights (:384-456).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from carla_garage_tpu.agents.sensor_agent import command_onehot
+from carla_garage_tpu.config import GlobalConfig
+from carla_garage_tpu.models.transfuser import LidarCenterNet, TransfuserConfig
+from carla_garage_tpu.ops import detection as det
+from carla_garage_tpu.ops.losses import cross_entropy, l1_masked
+from carla_garage_tpu.sensors.bev import render_bev_semantics
+from carla_garage_tpu.sensors.camera import render_camera
+from carla_garage_tpu.sensors.lidar import render_lidar
+from carla_garage_tpu.sensors.voxelize import voxelize
+from carla_garage_tpu.sim import geometry as geo
+from carla_garage_tpu.sim.datagen import (Frames, target_speed_labels,
+                                          waypoint_labels)
+from carla_garage_tpu.structs import Scene, SimState
+from carla_garage_tpu.train.plant_train import SPEED_WEIGHTS
+
+
+def render_frame_batch(cfg: GlobalConfig, maps, scene: Scene,
+                       frames: Frames, f_idx: int, camera_grid,
+                       lidar_grid, rng):
+  """Render model inputs + labels for frame index f_idx across the batch.
+
+  Reconstructs a SimState snapshot from the recorded frame and reuses the
+  live sensor renderers — datagen and inference share one code path.
+  """
+  take = lambda x: x[f_idx]
+  from carla_garage_tpu.structs import EgoState, VehicleStates, WalkerStates
+  B, V = frames.veh_yaw.shape[1:3]
+  W = frames.wlk_yaw.shape[2]
+  sb = 1
+  ego = EgoState(pos=take(frames.ego_pos), yaw=take(frames.ego_yaw),
+                 speed=take(frames.ego_speed))
+  veh = VehicleStates(
+      pos=take(frames.veh_pos), yaw=take(frames.veh_yaw),
+      speed=take(frames.veh_speed), extent=take(frames.veh_extent),
+      valid=take(frames.veh_valid),
+      control=jnp.zeros((B, V, 3)).at[..., 2].set(take(frames.veh_brake)),
+      buf_vel=jnp.zeros((B, V, sb)), buf_throttle=jnp.zeros((B, V, sb)),
+      buf_brake=jnp.zeros((B, V, sb)),
+      lane_id=jnp.zeros((B, V), jnp.int32), lane_t=jnp.zeros((B, V)))
+  wlk = WalkerStates(
+      pos=take(frames.wlk_pos), yaw=take(frames.wlk_yaw),
+      direction=jnp.zeros((B, W, 2)), speed=take(frames.wlk_speed),
+      extent=take(frames.wlk_extent), valid=take(frames.wlk_valid),
+      seen_frames=jnp.zeros((B, W), jnp.int32),
+      active=jnp.zeros((B, W), bool), walked_m=jnp.zeros((B, W)))
+  snap = SimState(tick=jnp.zeros((B,), jnp.int32),
+                  done=jnp.zeros((B,), bool), ego=ego, vehicles=veh,
+                  walkers=wlk, expert=None, criteria=None, rng=rng)
+
+  cam = render_camera(cfg, maps, scene, snap, camera_grid)
+  pts, valid = render_lidar(cfg, maps, scene, snap, lidar_grid, rng)
+  lidar_bev = jax.vmap(lambda p, v: voxelize(p, v, cfg))(pts, valid)
+  lidar_bev = jnp.transpose(lidar_bev, (0, 2, 3, 1))
+  bev_sem = render_bev_semantics(cfg, maps, scene, snap)
+  return dict(rgb=cam["rgb"], semantic=cam["semantic"],
+              depth=cam["depth"], lidar_bev=lidar_bev,
+              bev_semantic=bev_sem,
+              veh_pos=veh.pos, veh_yaw=veh.yaw, veh_extent=veh.extent,
+              veh_valid=veh.valid, veh_speed=veh.speed,
+              veh_brake=take(frames.veh_brake),
+              ego_pos=ego.pos, ego_yaw=ego.yaw, speed=ego.speed,
+              target_point=take(frames.target_point))
+
+
+def centernet_targets(cfg: GlobalConfig, tcfg: TransfuserConfig, batch,
+                      grid_hw: tuple):
+  """CenterNet training targets on the BEV feature grid (data.py:698-791).
+
+  Boxes = recorded vehicles in the ego frame, gridded at the model's BEV
+  stride. Returns dict of [B,h,w,*] targets + a box mask.
+  """
+  h, w = grid_hw
+  sc = cfg.sensor
+  ppm_grid = h / (sc.max_y - sc.min_y)          # cells per meter
+  rel = geo.world_to_ego(batch["veh_pos"], batch["ego_pos"][:, None],
+                         batch["ego_yaw"][:, None])
+  ryaw = geo.normalize_angle(batch["veh_yaw"] - batch["ego_yaw"][:, None])
+  cx = (rel[..., 0] - sc.min_x) * ppm_grid       # grid col
+  cy = (rel[..., 1] - sc.min_y) * ppm_grid       # grid row
+  inb = batch["veh_valid"] & (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+  gw = batch["veh_extent"][..., 1] * 2 * ppm_grid
+  gl = batch["veh_extent"][..., 0] * 2 * ppm_grid
+  radius = jnp.maximum(det.gaussian_radius(gw, gl), 2.0)
+  centers = jnp.stack([cx, cy], -1)
+  heat = jax.vmap(lambda c, r, v: det.splat_gaussian_heatmap(
+      h, w, c, r, v, jnp.zeros(c.shape[0], jnp.int32),
+      tcfg.num_bb_classes))(centers, radius, inb)
+  n_bins = tcfg.num_dir_bins
+  angle_per = 2 * jnp.pi / n_bins
+  yaw_pos = jnp.mod(ryaw, 2 * jnp.pi)
+  yaw_cls = jnp.floor(yaw_pos / angle_per).astype(jnp.int32) % n_bins
+  yaw_res = yaw_pos - yaw_cls * angle_per
+  return dict(heatmap=heat, center=centers, mask=inb,
+              wh=jnp.stack([gw, gl], -1),
+              yaw_cls=yaw_cls, yaw_res=yaw_res,
+              velocity=batch["veh_speed"], brake=batch["veh_brake"])
+
+
+# normalized loss weights (train.py:384-456 defaults — all 1.0 here)
+LOSS_WEIGHTS = dict(wp=1.0, checkpoint=1.0, target_speed=1.0, semantic=1.0,
+                    bev_semantic=1.0, depth=1.0, center_heatmap=1.0,
+                    wh=1.0, offset=1.0, yaw_class=1.0, yaw_res=1.0,
+                    velocity=1.0, brake=1.0)
+
+
+def transfuser_loss(cfg: GlobalConfig, tcfg: TransfuserConfig,
+                    model: LidarCenterNet, params, batch):
+  out = model.apply(params, batch["rgb"], batch["lidar_bev"],
+                    batch["target_point"], batch["command_onehot"],
+                    batch["speed"])
+  losses = {}
+  losses["checkpoint"] = jnp.mean(
+      jnp.abs(out["pred_checkpoint"] - batch["ckpt_label"]))
+  losses["target_speed"] = cross_entropy(
+      out["pred_target_speed"], batch["speed_label"],
+      weights=SPEED_WEIGHTS, label_smoothing=0.1)
+  if "pred_wp" in out:
+    losses["wp"] = jnp.mean(jnp.abs(out["pred_wp"] - batch["wp_label"]))
+  if "pred_semantic" in out:
+    losses["semantic"] = cross_entropy(out["pred_semantic"],
+                                       batch["semantic"])
+  if "pred_depth" in out:
+    losses["depth"] = jnp.mean(jnp.abs(out["pred_depth"] -
+                                       batch["depth_norm"]))
+  if "pred_bev_semantic" in out:
+    bev_lab = batch["bev_semantic_ds"]
+    losses["bev_semantic"] = cross_entropy(out["pred_bev_semantic"],
+                                           bev_lab)
+  if "pred_bb" in out:
+    bb = out["pred_bb"]
+    tgt = batch["centernet"]
+    pred_heat = jax.nn.sigmoid(bb["heatmap"])
+    losses["center_heatmap"] = jnp.mean(
+        det.gaussian_focal_loss(pred_heat, tgt["heatmap"]))
+    h, w = bb["wh"].shape[1:3]
+    ix = jnp.clip(tgt["center"][..., 0].astype(jnp.int32), 0, w - 1)
+    iy = jnp.clip(tgt["center"][..., 1].astype(jnp.int32), 0, h - 1)
+
+    def gather(m):
+      flat = m.reshape(m.shape[0], h * w, -1)
+      return jnp.take_along_axis(flat, (iy * w + ix)[..., None], 1)
+
+    mask = tgt["mask"]
+    losses["wh"] = l1_masked(gather(bb["wh"]), tgt["wh"], mask)
+    off_t = tgt["center"] - jnp.floor(tgt["center"])
+    losses["offset"] = l1_masked(gather(bb["offset"]), off_t, mask)
+    losses["yaw_res"] = l1_masked(gather(bb["yaw_res"])[..., 0],
+                                  tgt["yaw_res"], mask)
+    losses["velocity"] = l1_masked(gather(bb["velocity"])[..., 0],
+                                   tgt["velocity"], mask)
+    yc_logits = gather(bb["yaw_class"])
+    yc = jnp.sum(jnp.where(
+        mask[..., None], -jax.nn.log_softmax(yc_logits) *
+        jax.nn.one_hot(tgt["yaw_cls"], yc_logits.shape[-1]), 0.0))
+    losses["yaw_class"] = yc / jnp.maximum(jnp.sum(mask), 1.0)
+    br_logits = gather(bb["brake"])
+    br_lab = (tgt["brake"] > 0.5).astype(jnp.int32)
+    br = jnp.sum(jnp.where(
+        mask[..., None], -jax.nn.log_softmax(br_logits) *
+        jax.nn.one_hot(br_lab, 2), 0.0))
+    losses["brake"] = br / jnp.maximum(jnp.sum(mask), 1.0)
+
+  total = sum(LOSS_WEIGHTS[k] * v for k, v in losses.items())
+  aux = {f"loss_{k}": v for k, v in losses.items()}
+  aux["loss"] = total
+  return total, aux
+
+
+def checkpoint_labels(frames: Frames, scene: Scene, n_ckpt: int,
+                      spacing: int = 2):
+  """Future route checkpoints in each frame's ego frame (the reference's
+  smoothed route labels, data.py:1066-1138). [F,B,n_ckpt,2]."""
+  F, B = frames.ego_yaw.shape
+  R = scene.route.points.shape[1]
+  offs = (jnp.arange(n_ckpt) + 1) * spacing
+  q = jnp.clip(frames.dense_idx[..., None] + offs, 0, R - 1)   # [F,B,n]
+  pts = jnp.take_along_axis(
+      jnp.broadcast_to(scene.route.points[None], (F, B, R, 2)),
+      q[..., None], 2)
+  return geo.world_to_ego(pts, frames.ego_pos[:, :, None],
+                          frames.ego_yaw[:, :, None])
+
+
+def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,
+                               model: LidarCenterNet, tx, maps, scene,
+                               frames: Frames, camera_grid, lidar_grid):
+  """Returns a jitted (params, opt_state, f_idx, rng) -> ... train step that
+  renders the frame's sensors + labels on the fly — no stored dataset."""
+  wp, wp_valid = waypoint_labels(frames)
+  speed_cls = target_speed_labels(frames, cfg)
+  ckpt = checkpoint_labels(frames, scene, tcfg.checkpoint_len)
+  grid_hw = (tcfg.lidar_h // 8, tcfg.lidar_w // 8)
+  bev_ds = 256 // (grid_hw[0] * 2)            # label stride for bev head
+
+  def loss_fn(params, f_idx, rng):
+    rendered = render_frame_batch(cfg, maps, scene, frames, f_idx,
+                                  camera_grid, lidar_grid, rng)
+    batch = dict(rendered)
+    batch["depth_norm"] = rendered["depth"] / 85.0
+    batch["command_onehot"] = command_onehot(
+        jnp.full(rendered["speed"].shape, 4, jnp.int32))
+    batch["wp_label"] = wp[f_idx]
+    batch["ckpt_label"] = ckpt[f_idx]
+    batch["speed_label"] = speed_cls[f_idx]
+    batch["bev_semantic_ds"] = rendered["bev_semantic"][
+        :, ::bev_ds, ::bev_ds].astype(jnp.int32)
+    batch["centernet"] = centernet_targets(cfg, tcfg, batch, grid_hw)
+    return transfuser_loss(cfg, tcfg, model, params, batch)
+
+  @jax.jit
+  def train_step(params, opt_state, f_idx, rng):
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, f_idx, rng)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, aux
+
+  return train_step, wp_valid
+
+
+def train_transfuser(cfg: GlobalConfig, tcfg: TransfuserConfig, maps, scene,
+                     frames: Frames, camera_grid, lidar_grid,
+                     steps: int = 100, lr: float = 3e-4, seed: int = 0,
+                     params=None, log_every: int = 50):
+  """Minimal on-device training loop over collected frames."""
+  model = LidarCenterNet(tcfg)
+  rng = jax.random.key(seed)
+  if params is None:
+    B = frames.ego_yaw.shape[1]
+    rgb0 = jnp.zeros((B, tcfg.img_h, tcfg.img_w, 3))
+    lid0 = jnp.zeros((B, tcfg.lidar_h, tcfg.lidar_w, tcfg.lidar_channels))
+    params = model.init(rng, rgb0, lid0, jnp.zeros((B, 2)),
+                        jnp.zeros((B, 6)), jnp.zeros((B,)))
+  tx = optax.adamw(lr, weight_decay=0.01)
+  opt_state = tx.init(params)
+  step_fn, wp_valid = make_transfuser_train_step(
+      cfg, tcfg, model, tx, maps, scene, frames, camera_grid, lidar_grid)
+  F = frames.ego_yaw.shape[0]
+  np_rng = np.random.default_rng(seed)
+  usable = np.nonzero(np.asarray(wp_valid).any(-1))[0]
+  history = []
+  for i in range(steps):
+    f_idx = int(np_rng.choice(usable))
+    rng, sub = jax.random.split(rng)
+    params, opt_state, aux = step_fn(params, opt_state, f_idx, sub)
+    if i % log_every == 0 or i == steps - 1:
+      history.append({k: float(v) for k, v in aux.items()})
+  return model, params, history
