@@ -249,7 +249,8 @@ def build_batch(cfg: GlobalConfig, town: SyntheticTown,
       buf_vel=jnp.ones((B, V, sb)),        # start "moving" so not stuck
       buf_throttle=jnp.zeros((B, V, sb)),
       buf_brake=jnp.zeros((B, V, sb)),
-      lane_id=jnp.asarray(vlane), lane_t=jnp.asarray(vt))
+      lane_id=jnp.asarray(vlane), lane_t=jnp.asarray(vt),
+      stand_ticks=jnp.zeros((B, V), jnp.int32))
 
   # ---- crossing walkers at random route fractions (scenario triggers) ----
   wpos = np.zeros((B, W, 2), np.float32)

@@ -97,13 +97,18 @@ def traffic_step(cfg: GlobalConfig, lanes: LaneGraph, scene: Scene,
   yaw = jnp.where(veh.valid, yaw, veh.yaw)
   speed = jnp.where(veh.valid, speed, 0.0)
 
-  # --- lane progress + successor hand-off; despawn at dead ends ---
-  # (CARLA's TrafficManager recycles vehicles that leave the area)
+  # --- lane progress + successor hand-off; despawn at dead ends and on
+  # long standstill (anti-deadlock — CARLA's TrafficManager also recycles
+  # stuck vehicles; 40 s >> any legitimate red-light wait) ---
   lane_t = veh.lane_t + speed * s.dt
   total = lanes.total_len[veh.lane_id]
   nxt = lanes.successor[veh.lane_id, 0]
   wrap = (lane_t >= total) & (nxt >= 0)
-  despawn = (lane_t >= total - 1.0) & (nxt < 0)
+  stand = jnp.where(speed < 0.05, veh.stand_ticks + 1, 0).astype(jnp.int32)
+  deadlocked = stand > 800
+  if effects is not None and "npc_speed_cap" in effects:
+    deadlocked &= effects["npc_speed_cap"] > 0.01    # scenario-held exempt
+  despawn = ((lane_t >= total - 1.0) & (nxt < 0)) | deadlocked
   valid = veh.valid & ~despawn
   lane_id = jnp.where(wrap, nxt, veh.lane_id)
   lane_t = jnp.where(wrap, lane_t - total, jnp.minimum(lane_t, total))
@@ -118,7 +123,8 @@ def traffic_step(cfg: GlobalConfig, lanes: LaneGraph, scene: Scene,
       buf_vel=push(veh.buf_vel, speed),
       buf_throttle=push(veh.buf_throttle, throttle),
       buf_brake=push(veh.buf_brake, brake.astype(jnp.float32)),
-      lane_id=lane_id.astype(jnp.int32), lane_t=lane_t)
+      lane_id=lane_id.astype(jnp.int32), lane_t=lane_t,
+      stand_ticks=stand)
 
 
 def walker_step(cfg: GlobalConfig, scene: Scene, state: SimState):

@@ -63,6 +63,7 @@ class VehicleStates:
   # Per-NPC route-following: index into its lane polyline
   lane_id: jnp.ndarray      # [B,V] int32 — which lane polyline this NPC follows
   lane_t: jnp.ndarray       # [B,V] arc-position along the polyline (m)
+  stand_ticks: jnp.ndarray  # [B,V] int32 consecutive standstill ticks
 
 
 @struct.dataclass

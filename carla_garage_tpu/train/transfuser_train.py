@@ -56,7 +56,8 @@ def render_frame_batch(cfg: GlobalConfig, maps, scene: Scene,
       control=jnp.zeros((B, V, 3)).at[..., 2].set(take(frames.veh_brake)),
       buf_vel=jnp.zeros((B, V, sb)), buf_throttle=jnp.zeros((B, V, sb)),
       buf_brake=jnp.zeros((B, V, sb)),
-      lane_id=jnp.zeros((B, V), jnp.int32), lane_t=jnp.zeros((B, V)))
+      lane_id=jnp.zeros((B, V), jnp.int32), lane_t=jnp.zeros((B, V)),
+      stand_ticks=jnp.zeros((B, V), jnp.int32))
   wlk = WalkerStates(
       pos=take(frames.wlk_pos), yaw=take(frames.wlk_yaw),
       direction=jnp.zeros((B, W, 2)), speed=take(frames.wlk_speed),
