@@ -113,13 +113,60 @@ def run_synthetic_benchmark(cfg: GlobalConfig = None, n_routes: int = 8,
   return records, aggregate(records)
 
 
+def _scenario_setup(cfg, scen_ann: dict, episodes, B: int, seed: int):
+  """Per-episode crossing walkers (Scenario3/4) + CONTROL_LOSS specs
+  (Scenario1) from the benchmark's scenario annotations."""
+  import jax.numpy as jnp
+  from carla_garage_tpu.sim.scenarios import (ScenarioType, make_empty_specs,
+                                              scenarios_reset)
+  rng = np.random.default_rng(seed)
+  W = cfg.sim.max_walkers
+  K = 8
+  walker_sites = []
+  specs = make_empty_specs(B, K)
+  kind = np.zeros((B, K), np.int32)
+  tpos = np.zeros((B, K, 2), np.float32)
+  mag = np.zeros((B, K), np.float32)
+  valid = np.zeros((B, K), bool)
+  for b, ep in enumerate(episodes):
+    near = importer.scenarios_near_route(scen_ann, ep.dense)
+    sites = []
+    cross = []
+    for k in ("Scenario3", "Scenario4"):
+      if k in near and len(near[k][0]):
+        cross.append(near[k][0])
+    if cross:
+      pts = np.concatenate(cross)
+      sel = rng.permutation(len(pts))[:W]
+      for x, y, yaw in pts[sel]:
+        right = np.array([-np.sin(yaw), np.cos(yaw)], np.float32)
+        sites.append((np.array([x, y], np.float32) + right * 6.0, -right))
+    walker_sites.append(sites)
+    if "Scenario1" in near and len(near["Scenario1"][0]):
+      pts = near["Scenario1"][0]
+      sel = rng.permutation(len(pts))[:K]
+      for j, (x, y, yaw) in enumerate(pts[sel]):
+        kind[b, j] = ScenarioType.CONTROL_LOSS
+        tpos[b, j] = (x, y)
+        mag[b, j] = 0.1
+        valid[b, j] = True
+  specs = specs.replace(kind=jnp.asarray(kind), trigger_pos=jnp.asarray(tpos),
+                        magnitude=jnp.asarray(mag), valid=jnp.asarray(valid))
+  return walker_sites, specs, scenarios_reset(B, K)
+
+
 def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
                         reps: int = 1, towns: list | None = None,
                         n_vehicles: int = 8, n_walkers: int = 2,
                         max_ticks: int = 60000, seed: int = 0,
                         policy=expert_step, assets_root=None,
+                        use_scenarios: bool = True,
                         verbose: bool = True):
-  """Run a real benchmark's routes (grouped per town) inside the TPU sim."""
+  """Run a real benchmark's routes (grouped per town) inside the TPU sim.
+
+  use_scenarios attaches crossing walkers + control-loss disturbances at
+  the benchmark's published scenario trigger points
+  (all_towns_traffic_scenarios_public.json)."""
   cfg = cfg or (longest6_config() if benchmark == "longest6"
                 else GlobalConfig())
   root = assets_root or importer.DEFAULT_ASSETS
@@ -147,9 +194,18 @@ def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
       for r, ep in zip(town_routes, compiled):
         eps.append(ep)
         ids.append(f"{r.route_id}_rep{rep}")
+    walker_sites = None
+    if use_scenarios:
+      scen_ann = importer.load_scenarios(town_name, root)
+      walker_sites, specs, scen_state = _scenario_setup(
+          cfg, scen_ann, eps, len(eps), seed)
     maps, lanes, scene, state = build_batch(
         cfg, town_adapter, eps, seed=seed, n_vehicles=n_vehicles,
-        n_walkers=n_walkers, npc_lane_per_episode=True)
+        n_walkers=n_walkers, npc_lane_per_episode=True,
+        walker_sites=walker_sites)
+    if use_scenarios:
+      scene = scene.replace(scenarios=specs)
+      state = state.replace(scenario=scen_state)
     final = rollout_chunked(cfg, maps, lanes, scene, state, max_ticks,
                             chunk=1024)
     recs = _records(cfg, scene, final, ids, town_name)

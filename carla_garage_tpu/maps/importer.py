@@ -146,6 +146,48 @@ def load_benchmark_routes(benchmark: str = "longest6",
                                        f"{benchmark}.xml"))
 
 
+def load_scenarios(town: str, root: str = DEFAULT_ASSETS) -> dict:
+  """Scenario trigger transforms for a town from the public annotations
+  (leaderboard/data/scenarios/all_towns_traffic_scenarios_public.json,
+  parsed like RouteParser.scan_route_for_scenarios).
+
+  Returns {scenario_type: [K,3] array of (x, y, yaw_rad)}.
+  """
+  import json
+  path = os.path.join(root, ROUTES_DIR, "scenarios",
+                      "all_towns_traffic_scenarios_public.json")
+  with open(path) as f:
+    data = json.load(f)
+  out = {}
+  for town_dict in data["available_scenarios"]:
+    if town not in town_dict:
+      continue
+    for grp in town_dict[town]:
+      rows = []
+      for ev in grp["available_event_configurations"]:
+        tr = ev["transform"]
+        rows.append([float(tr["x"]), float(tr["y"]),
+                     np.radians(float(tr["yaw"]))])
+      out[grp["scenario_type"]] = np.asarray(rows, np.float32)
+  return out
+
+
+def scenarios_near_route(scenarios: dict, dense: np.ndarray,
+                         radius: float = 8.0) -> dict:
+  """Filter trigger points to those near the route, with their route
+  progress index (the RouteParser trigger-matching analog)."""
+  out = {}
+  for k, pts in scenarios.items():
+    if not len(pts):
+      continue
+    d = np.linalg.norm(dense[None, :, :2] - pts[:, None, :2], axis=-1)
+    route_idx = d.argmin(1)
+    near = d.min(1) < radius
+    sel = np.nonzero(near)[0]
+    out[k] = (pts[sel], route_idx[sel])
+  return out
+
+
 def as_synthetic_town(town: ImportedTown, route_polys: list[np.ndarray]):
   """Adapter: ImportedTown -> the scene builder's town interface.
 

@@ -63,8 +63,10 @@ def collect_expert_frames(cfg: GlobalConfig, maps: MapStack,
   SAVE_FREQ ticks. Returns (final_state, Frames)."""
 
   def frame_step(st: SimState, _):
-    for _ in range(SAVE_FREQ):
-      st = sim_step(cfg, maps, lanes, scene, st)
+    # one traced sim_step inside fori_loop (not unrolled: compile cost)
+    st = jax.lax.fori_loop(
+        0, SAVE_FREQ, lambda i, s2: sim_step(cfg, maps, lanes, scene, s2),
+        st)
     ex = st.expert
     ego = st.ego
     tp_world, _ = jax.vmap(

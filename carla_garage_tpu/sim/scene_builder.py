@@ -130,9 +130,12 @@ def compile_route(town: SyntheticTown, keypoints_xy: np.ndarray,
 def build_batch(cfg: GlobalConfig, town: SyntheticTown,
                 episodes: list[HostEpisode], seed: int = 0,
                 n_vehicles: int = 8, n_walkers: int = 2,
-                npc_lane_per_episode: bool = False):
+                npc_lane_per_episode: bool = False,
+                walker_sites: list | None = None):
   """Returns (MapStack, LaneGraph, Scene, SimState) for a batch of episodes
-  in one town."""
+  in one town. walker_sites: optional per-episode list of (pos[2], dir[2])
+  crossing spawns (from benchmark scenario annotations) overriding the
+  random placement."""
   rng = np.random.default_rng(seed)
   B = len(episodes)
   s = cfg.sim
@@ -260,6 +263,13 @@ def build_batch(cfg: GlobalConfig, town: SyntheticTown,
   wtrig = np.full((B, W), 18.0, np.float32)
   wcross = np.full((B, W), 9.0, np.float32)
   for b in range(B):
+    if walker_sites is not None and b < len(walker_sites):
+      for wi, (p, d) in enumerate(walker_sites[b][:W]):
+        wpos[b, wi] = p
+        wdir[b, wi] = d
+        wyaw[b, wi] = np.arctan2(d[1], d[0])
+        wvalid[b, wi] = True
+      continue
     dense = episodes[b].dense
     for wi in range(min(n_walkers, W)):
       fi = int(len(dense) * rng.uniform(0.3, 0.9))
