@@ -80,14 +80,21 @@ def command_onehot(cmd: jnp.ndarray) -> jnp.ndarray:
 def make_transfuser_policy(model: LidarCenterNet, params,
                            tcfg: TransfuserConfig, camera_grid,
                            lidar_grid_front, lidar_grid_rear,
-                           direct: bool = True):
+                           direct: bool = True, map_track: bool = False):
   """PolicyFn: full sensor pipeline + model + control, jitted in the step.
 
   direct=True uses the classified-target-speed + checkpoint-angle
   controller (inference_direct_controller / DIRECT=1 operating point),
   else the waypoint controller.
+
+  map_track=True replaces the predicted path with the HD-map route
+  checkpoint (the MapAgent variant, map_agent.py:1-60).
+
+  `params` may be a single param pytree or a LIST of pytrees — an ensemble
+  whose outputs are averaged (sensor_agent.py:114-131, :487-495).
   """
   target_speeds = jnp.array([0.0, 2.0, 5.0, 8.0])   # config.py:148
+  param_list = params if isinstance(params, (list, tuple)) else [params]
 
   def policy(cfg: GlobalConfig, maps, scene: Scene, state: SimState, rng):
     ag: SensorAgentState = state.agent
@@ -143,9 +150,11 @@ def make_transfuser_policy(model: LidarCenterNet, params,
         merged_pts, merged_val)                       # [B,2,H,W]
     lidar_bev = jnp.transpose(lidar_bev, (0, 2, 3, 1))
 
-    # --- model forward (inside the env step) ---
-    out = model.apply(params, cam["rgb"], lidar_bev, target_point,
-                      command_onehot(cmd), ego.speed)
+    # --- model forward (ensemble-averaged, inside the env step) ---
+    outs = [model.apply(p, cam["rgb"], lidar_bev, target_point,
+                        command_onehot(cmd), ego.speed)
+            for p in param_list]
+    out = jax.tree.map(lambda *xs: sum(xs) / len(xs), *outs)
 
     # --- control (sensor_agent.py:544-557 + model.py:461-554) ---
     if direct:
@@ -154,8 +163,16 @@ def make_transfuser_policy(model: LidarCenterNet, params,
       # reference also supports argmax/uncertainty thresholding
       brake_conf = probs[:, 0] > 0.5                  # brake_uncertainty
       ts = jnp.where(brake_conf, 0.0, ts)
-      ckpt = out["pred_checkpoint"]
-      aim = ckpt[:, 2]                                # ~2nd checkpoint aim
+      if map_track:
+        # MAP track: aim at the HD-map route point ahead (MapAgent)
+        aim_world, _ = jax.vmap(
+            lambda pts, c, nv, i: route_lookup(pts, c, nv, i, 4))(
+            scene.route.points, scene.route.cmd, scene.route.num_valid,
+            pl_dense.idx)
+        aim = geo.world_to_ego(aim_world, pos_f, yaw_f)
+      else:
+        ckpt = out["pred_checkpoint"]
+        aim = ckpt[:, 2]                              # ~2nd checkpoint aim
       angle = jnp.degrees(jnp.arctan2(aim[:, 1], aim[:, 0])) / 90.0
       steer, throttle, brake, pt2, ps2 = control_pid_direct(
           ag.pid_turn, ag.pid_speed, ts, angle, ego.speed, cfg)

@@ -27,7 +27,7 @@ class RoadRouter:
   """
 
   def __init__(self, road_mask, ppm: float, world_offset, stride: int = 8):
-    from scipy import ndimage, sparse
+    from scipy import ndimage
     H, W = road_mask.shape
     h, w = H // stride, W // stride
     grid = road_mask[:h * stride, :w * stride].reshape(
@@ -45,26 +45,40 @@ class RoadRouter:
     self.cell_yx = np.stack([ys, xs], -1)
     # interior preference: hugging the edge costs up to 3x
     node_pen = 1.0 + 2.0 * np.clip(1.0 - inside[ys, xs] / 3.0, 0.0, 1.0)
-    rows, cols, vals = [], [], []
-    cell_m = stride / ppm
-    for dy in (-1, 0, 1):
-      for dx in (-1, 0, 1):
-        if dx == 0 and dy == 0:
-          continue
-        ys2, xs2 = ys + dy, xs + dx
-        ok = (ys2 >= 0) & (ys2 < h) & (xs2 >= 0) & (xs2 < w)
-        ok[ok] &= grid[ys2[ok], xs2[ok]]
-        src = ids[ys[ok], xs[ok]]
-        dst = ids[ys2[ok], xs2[ok]]
-        cost = np.hypot(dx, dy) * cell_m * 0.5 * (
-            node_pen[src] + node_pen[dst])
-        rows.append(src)
-        cols.append(dst)
-        vals.append(cost)
-    n = len(xs)
-    self.graph = sparse.csr_matrix(
-        (np.concatenate(vals), (np.concatenate(rows),
-                                np.concatenate(cols))), shape=(n, n))
+    self.penalty_grid = np.zeros((h, w), np.float32)
+    self.penalty_grid[ys, xs] = node_pen
+    self.cell_m = stride / ppm
+    self._node_pen = node_pen
+    self._graph = None          # scipy fallback graph, built lazily
+
+  @property
+  def graph(self):
+    if self._graph is None:
+      from scipy import sparse
+      grid, ids = self.grid, self.ids
+      h, w = self.h, self.w
+      ys, xs = self.cell_yx[:, 0], self.cell_yx[:, 1]
+      node_pen = self._node_pen
+      rows, cols, vals = [], [], []
+      for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+          if dx == 0 and dy == 0:
+            continue
+          ys2, xs2 = ys + dy, xs + dx
+          ok = (ys2 >= 0) & (ys2 < h) & (xs2 >= 0) & (xs2 < w)
+          ok[ok] &= grid[ys2[ok], xs2[ok]]
+          src = ids[ys[ok], xs[ok]]
+          dst = ids[ys2[ok], xs2[ok]]
+          cost = np.hypot(dx, dy) * self.cell_m * 0.5 * (
+              node_pen[src] + node_pen[dst])
+          rows.append(src)
+          cols.append(dst)
+          vals.append(cost)
+      n = len(xs)
+      self._graph = sparse.csr_matrix(
+          (np.concatenate(vals), (np.concatenate(rows),
+                                  np.concatenate(cols))), shape=(n, n))
+    return self._graph
 
   def _node(self, xy):
     p = (np.asarray(xy, np.float64) - self.world_offset) * self.ppm
@@ -84,11 +98,26 @@ class RoadRouter:
     return best
 
   def route(self, a_xy, b_xy):
-    """Road path between two world points -> [N,2] world coords or None."""
-    from scipy.sparse import csgraph
+    """Road path between two world points -> [N,2] world coords or None.
+
+    Fast path: the native C++ A* (native/router.cpp via ctypes);
+    fallback: scipy csgraph Dijkstra."""
     a, b = self._node(a_xy), self._node(b_xy)
     if a < 0 or b < 0:
       return None
+    from carla_garage_tpu.maps import native_router
+    if native_router.available():
+      ay, ax = self.cell_yx[a]
+      by, bx = self.cell_yx[b]
+      cells = native_router.route_grid(
+          self.grid, self.penalty_grid, int(ay) * self.w + int(ax),
+          int(by) * self.w + int(bx), self.cell_m)
+      if cells is not None:
+        yx = np.stack([cells // self.w, cells % self.w], -1)
+        xy = (yx[:, ::-1] + 0.5) * self.stride / self.ppm
+        return (xy + self.world_offset).astype(np.float32)
+      return None
+    from scipy.sparse import csgraph
     _, pred = csgraph.dijkstra(self.graph, indices=a,
                                return_predecessors=True)
     if pred[b] < 0 and a != b:

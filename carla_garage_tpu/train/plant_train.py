@@ -156,6 +156,24 @@ def iterate_minibatches(ds: PlantDataset, batch_size: int, rng: np.random.Genera
       }
 
 
+def relabel_with_plant(model: PlanT, params, ds: PlantDataset,
+                       batch_size: int = 256) -> PlantDataset:
+  """Replace the expert labels with PlanT predictions — the LbC-style
+  offline relabeling of team_code/relabel_dataset.py (used with
+  use_plant_labels, config.py:265)."""
+  n = (len(ds) // batch_size) * batch_size
+  apply = jax.jit(lambda t, ty, v, tp: model.apply(params, t, ty, v, tp))
+  wp = np.array(ds.wp_label)
+  sp = np.array(ds.speed_label)
+  for i in range(0, n, batch_size):
+    sl = slice(i, i + batch_size)
+    out = apply(ds.tokens[sl], ds.types[sl], ds.token_valid[sl],
+                ds.target_point[sl])
+    wp[sl] = np.asarray(out["pred_wp"])[:, :wp.shape[1]]
+    sp[sl] = np.asarray(jnp.argmax(out["pred_target_speed"], -1))
+  return dataclasses.replace(ds, wp_label=wp, speed_label=sp)
+
+
 def train_plant(cfg: GlobalConfig, pcfg: PlanTConfig, ds: PlantDataset,
                 steps: int = 500, batch_size: int = 64, lr: float = 3e-4,
                 seed: int = 0, params=None, log_every: int = 100):

@@ -242,8 +242,12 @@ def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,
 def train_transfuser(cfg: GlobalConfig, tcfg: TransfuserConfig, maps, scene,
                      frames: Frames, camera_grid, lidar_grid,
                      steps: int = 100, lr: float = 3e-4, seed: int = 0,
-                     params=None, log_every: int = 50):
-  """Minimal on-device training loop over collected frames."""
+                     params=None, log_every: int = 50,
+                     freeze_backbone: bool = False):
+  """Minimal on-device training loop over collected frames.
+
+  freeze_backbone freezes the image branch for two-stage training
+  (config.py:253, README.md:142-147)."""
   model = LidarCenterNet(tcfg)
   rng = jax.random.key(seed)
   if params is None:
@@ -253,6 +257,14 @@ def train_transfuser(cfg: GlobalConfig, tcfg: TransfuserConfig, maps, scene,
     params = model.init(rng, rgb0, lid0, jnp.zeros((B, 2)),
                         jnp.zeros((B, 6)), jnp.zeros((B,)))
   tx = optax.adamw(lr, weight_decay=0.01)
+  if freeze_backbone:
+    def label_fn(tree):
+      return jax.tree_util.tree_map_with_path(
+          lambda path, _: "frozen" if any(
+              "image_" in str(getattr(k, "key", "")) for k in path)
+          else "train", tree)
+    tx = optax.multi_transform(
+        {"train": tx, "frozen": optax.set_to_zero()}, label_fn)
   opt_state = tx.init(params)
   step_fn, wp_valid = make_transfuser_train_step(
       cfg, tcfg, model, tx, maps, scene, frames, camera_grid, lidar_grid)
