@@ -230,6 +230,30 @@ def write_endpoint(records, global_stats, path: str):
     json.dump(data, f, indent=2)
 
 
+def print_table(records):
+  """Pretty per-route results table (utils/result_writer.py analog)."""
+  hdr = f"{'route':>10} {'town':>8} {'DS':>7} {'RC':>7} {'IS':>6}  status"
+  lines = [hdr, "-" * len(hdr)]
+  for r in records:
+    s = r["scores"]
+    lines.append(f"{r['route_id']:>10} {r['town']:>8} "
+                 f"{s['score_composed']:>7.2f} {s['score_route']:>7.2f} "
+                 f"{s['score_penalty']:>6.3f}  {r['status']}")
+  print("\n".join(lines), flush=True)
+
+
+def load_completed(endpoint_path: str) -> set:
+  """Route ids already present in a results endpoint (resume support —
+  RouteIndexer.resume / StatisticsManager.resume analog)."""
+  import os
+  if not os.path.exists(endpoint_path):
+    return set()
+  with open(endpoint_path) as f:
+    data = json.load(f)
+  return {r["route_id"] for r in data.get("_checkpoint", {}).get(
+      "records", []) if r["status"].startswith("Completed")}
+
+
 def write_csv(records, path: str):
   """Per-route CSV summary (result_parser.py analog)."""
   with open(path, "w", newline="") as f:

@@ -98,6 +98,40 @@ def collect_expert_frames(cfg: GlobalConfig, maps: MapStack,
   return final, frames
 
 
+def export_frames_jsonl(frames: Frames, path: str, episode: int = 0):
+  """Write one episode's frame log as JSONL — the ScenarioLogger analog
+  (team_code/scenario_logger.py: per-frame ego/traffic state for replay).
+  The visualization module renders these into trajectory maps."""
+  import gzip
+  import json
+  import numpy as np
+  op = gzip.open if path.endswith(".gz") else open
+  F = frames.ego_pos.shape[0]
+  with op(path, "wt") as f:
+    for t in range(F):
+      if not bool(frames.alive[t, episode]):
+        break
+      rec = {
+          "frame": t,
+          "ego": {"pos": np.asarray(frames.ego_pos[t, episode]).tolist(),
+                  "yaw": float(frames.ego_yaw[t, episode]),
+                  "speed": float(frames.ego_speed[t, episode]),
+                  "steer": float(frames.steer[t, episode]),
+                  "brake": float(frames.brake[t, episode])},
+          "vehicles": [
+              {"pos": np.asarray(frames.veh_pos[t, episode, v]).tolist(),
+               "yaw": float(frames.veh_yaw[t, episode, v]),
+               "speed": float(frames.veh_speed[t, episode, v])}
+              for v in range(frames.veh_yaw.shape[2])
+              if bool(frames.veh_valid[t, episode, v])],
+          "walkers": [
+              {"pos": np.asarray(frames.wlk_pos[t, episode, w]).tolist()}
+              for w in range(frames.wlk_yaw.shape[2])
+              if bool(frames.wlk_valid[t, episode, w])],
+      }
+      f.write(json.dumps(rec) + "\n")
+
+
 def waypoint_labels(frames: Frames):
   """Future ego positions in each frame's ego coordinates
   (data.py:812-838 semantics): label[t, k] = pose(t+k+1) in frame(t),
