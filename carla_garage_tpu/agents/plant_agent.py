@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from carla_garage_tpu.agents.controllers import control_pid
+from carla_garage_tpu.agents.controllers import (control_pid,
+                                                 control_pid_direct)
 from carla_garage_tpu.config import GlobalConfig
 from carla_garage_tpu.models.plant import PlanT, PlanTConfig
 from carla_garage_tpu.sim import geometry as geo
@@ -108,8 +109,14 @@ def extract_tokens(cfg: GlobalConfig, pcfg: PlanTConfig, scene: Scene,
   return tokens, types, valid
 
 
-def make_plant_policy(model: PlanT, params, pcfg: PlanTConfig):
-  """Returns a PolicyFn running PlanT inside the env step."""
+def make_plant_policy(model: PlanT, params, pcfg: PlanTConfig,
+                      direct: bool = False):
+  """Returns a PolicyFn running PlanT inside the env step.
+
+  direct=True drives from the classified target speed + checkpoint aim
+  angle (the DIRECT operating point — robust to the IL inertia problem)
+  instead of the waypoint controller."""
+  target_speeds = jnp.array([0.0, 2.0, 5.0, 8.0])
 
   def policy(cfg: GlobalConfig, maps, scene: Scene, state: SimState, rng):
     ag: PlanTAgentState = state.agent
@@ -132,8 +139,17 @@ def make_plant_policy(model: PlanT, params, pcfg: PlanTConfig):
     tokens, types, valid = extract_tokens(cfg, pcfg, scene, state,
                                           pl_dense.idx)
     out = model.apply(params, tokens, types, valid, target_point)
-    steer, throttle, brake, pt2, ps2 = control_pid(
-        ag.pid_turn, ag.pid_speed, out["pred_wp"], ego.speed, cfg)
+    if direct:
+      probs = jax.nn.softmax(out["pred_target_speed"])
+      ts = jnp.sum(probs * target_speeds, -1)
+      ts = jnp.where(probs[:, 0] > 0.5, 0.0, ts)   # brake_uncertainty 0.5
+      aim = out["pred_checkpoint"][:, 2]
+      angle = jnp.degrees(jnp.arctan2(aim[:, 1], aim[:, 0])) / 90.0
+      steer, throttle, brake, pt2, ps2 = control_pid_direct(
+          ag.pid_turn, ag.pid_speed, ts, angle, ego.speed, cfg)
+    else:
+      steer, throttle, brake, pt2, ps2 = control_pid(
+          ag.pid_turn, ag.pid_speed, out["pred_wp"], ego.speed, cfg)
     new_ag = PlanTAgentState(planner_dense=pl_dense,
                              planner_sparse=pl_sparse,
                              pid_turn=pt2, pid_speed=ps2)

@@ -132,6 +132,21 @@ def export_frames_jsonl(frames: Frames, path: str, episode: int = 0):
       f.write(json.dumps(rec) + "\n")
 
 
+def checkpoint_labels(frames: Frames, scene, n_ckpt: int,
+                      spacing: int = 2):
+  """Future route checkpoints in each frame's ego frame (the reference's
+  smoothed route labels, data.py:1066-1138). [F,B,n_ckpt,2]."""
+  F, B = frames.ego_yaw.shape
+  R = scene.route.points.shape[1]
+  offs = (jnp.arange(n_ckpt) + 1) * spacing
+  q = jnp.clip(frames.dense_idx[..., None] + offs, 0, R - 1)   # [F,B,n]
+  pts = jnp.take_along_axis(
+      jnp.broadcast_to(scene.route.points[None], (F, B, R, 2)),
+      q[..., None], 2)
+  return geo.world_to_ego(pts, frames.ego_pos[:, :, None],
+                          frames.ego_yaw[:, :, None])
+
+
 def waypoint_labels(frames: Frames):
   """Future ego positions in each frame's ego coordinates
   (data.py:812-838 semantics): label[t, k] = pose(t+k+1) in frame(t),

@@ -24,7 +24,9 @@ from carla_garage_tpu.config import GlobalConfig
 from carla_garage_tpu.models.plant import PlanT, PlanTConfig
 from carla_garage_tpu.ops.losses import cross_entropy
 from carla_garage_tpu.sim import geometry as geo
-from carla_garage_tpu.sim.datagen import (Frames, PRED_LEN, target_speed_labels,
+from carla_garage_tpu.sim.datagen import (Frames, PRED_LEN,
+                                          checkpoint_labels,
+                                          target_speed_labels,
                                           waypoint_labels)
 from carla_garage_tpu.structs import Scene
 
@@ -38,6 +40,7 @@ class PlantDataset:
   target_point: np.ndarray
   wp_label: np.ndarray
   speed_label: np.ndarray
+  ckpt_label: np.ndarray
 
   def __len__(self):
     return len(self.tokens)
@@ -104,6 +107,7 @@ def build_plant_dataset(cfg: GlobalConfig, pcfg: PlanTConfig,
 
   wp, wp_valid = waypoint_labels(frames)
   speed_cls = target_speed_labels(frames, cfg)
+  ckpt = checkpoint_labels(frames, scene, pcfg.checkpoint_len)
   sample_valid = np.asarray(wp_valid).reshape(-1)
 
   def flat(x):
@@ -112,7 +116,7 @@ def build_plant_dataset(cfg: GlobalConfig, pcfg: PlanTConfig,
   return PlantDataset(
       tokens=flat(tokens), types=flat(types), token_valid=flat(token_valid),
       target_point=flat(frames.target_point), wp_label=flat(wp),
-      speed_label=flat(speed_cls))
+      speed_label=flat(speed_cls), ckpt_label=flat(ckpt))
 
 
 # Target-speed class weights (config.py:158)
@@ -126,8 +130,11 @@ def plant_loss(model: PlanT, params, batch, rng=None):
   loss_wp = jnp.mean(jnp.abs(out["pred_wp"] - batch["wp_label"]))
   loss_speed = cross_entropy(out["pred_target_speed"], batch["speed_label"],
                              weights=SPEED_WEIGHTS, label_smoothing=0.1)
-  loss = loss_wp + loss_speed
-  return loss, {"loss": loss, "loss_wp": loss_wp, "loss_speed": loss_speed}
+  loss_ckpt = jnp.mean(jnp.abs(out["pred_checkpoint"] -
+                               batch["ckpt_label"]))
+  loss = loss_wp + loss_speed + loss_ckpt
+  return loss, {"loss": loss, "loss_wp": loss_wp, "loss_speed": loss_speed,
+                "loss_ckpt": loss_ckpt}
 
 
 def make_train_step(model: PlanT, tx):
@@ -153,6 +160,7 @@ def iterate_minibatches(ds: PlantDataset, batch_size: int, rng: np.random.Genera
           "token_valid": ds.token_valid[sel],
           "target_point": ds.target_point[sel],
           "wp_label": ds.wp_label[sel], "speed_label": ds.speed_label[sel],
+          "ckpt_label": ds.ckpt_label[sel],
       }
 
 

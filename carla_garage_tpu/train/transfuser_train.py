@@ -28,7 +28,8 @@ from carla_garage_tpu.sensors.camera import render_camera
 from carla_garage_tpu.sensors.lidar import render_lidar
 from carla_garage_tpu.sensors.voxelize import voxelize
 from carla_garage_tpu.sim import geometry as geo
-from carla_garage_tpu.sim.datagen import (Frames, target_speed_labels,
+from carla_garage_tpu.sim.datagen import (Frames, checkpoint_labels,
+                                          target_speed_labels,
                                           waypoint_labels)
 from carla_garage_tpu.structs import Scene, SimState
 from carla_garage_tpu.train.plant_train import SPEED_WEIGHTS
@@ -185,21 +186,6 @@ def transfuser_loss(cfg: GlobalConfig, tcfg: TransfuserConfig,
   aux = {f"loss_{k}": v for k, v in losses.items()}
   aux["loss"] = total
   return total, aux
-
-
-def checkpoint_labels(frames: Frames, scene: Scene, n_ckpt: int,
-                      spacing: int = 2):
-  """Future route checkpoints in each frame's ego frame (the reference's
-  smoothed route labels, data.py:1066-1138). [F,B,n_ckpt,2]."""
-  F, B = frames.ego_yaw.shape
-  R = scene.route.points.shape[1]
-  offs = (jnp.arange(n_ckpt) + 1) * spacing
-  q = jnp.clip(frames.dense_idx[..., None] + offs, 0, R - 1)   # [F,B,n]
-  pts = jnp.take_along_axis(
-      jnp.broadcast_to(scene.route.points[None], (F, B, R, 2)),
-      q[..., None], 2)
-  return geo.world_to_ego(pts, frames.ego_pos[:, :, None],
-                          frames.ego_yaw[:, :, None])
 
 
 def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,

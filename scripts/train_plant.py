@@ -92,20 +92,20 @@ def main():
   final_e = rollout_chunked(CFG, maps, lanes, scene, state, 6000, chunk=512)
   ds_e = compute_scores(CFG, final_e.criteria, route_lens)
 
-  policy = make_plant_policy(model, params, pcfg)
-  state_p = state.replace(agent=plant_agent_reset(CFG, args.eval_routes))
-  final_p = rollout_chunked(CFG, maps, lanes, scene, state_p, 6000,
-                            chunk=512, policy=policy)
-  ds_p = compute_scores(CFG, final_p.criteria, route_lens)
-
   out = {
       "expert_DS": float(jnp.mean(ds_e.score_composed)),
       "expert_RC": float(jnp.mean(ds_e.score_route)),
-      "plant_DS": float(jnp.mean(ds_p.score_composed)),
-      "plant_RC": float(jnp.mean(ds_p.score_route)),
-      "plant_IS": float(jnp.mean(ds_p.score_penalty)),
       "samples": len(ds), "steps": args.steps,
   }
+  for name, direct in (("wp", False), ("direct", True)):
+    policy = make_plant_policy(model, params, pcfg, direct=direct)
+    state_p = state.replace(agent=plant_agent_reset(CFG, args.eval_routes))
+    final_p = rollout_chunked(CFG, maps, lanes, scene, state_p, 6000,
+                              chunk=512, policy=policy)
+    ds_p = compute_scores(CFG, final_p.criteria, route_lens)
+    out[f"plant_{name}_DS"] = float(jnp.mean(ds_p.score_composed))
+    out[f"plant_{name}_RC"] = float(jnp.mean(ds_p.score_route))
+    out[f"plant_{name}_IS"] = float(jnp.mean(ds_p.score_penalty))
   print(json.dumps(out, indent=1), flush=True)
   with open("results/plant_synth_eval.json", "w") as f:
     json.dump(out, f, indent=1)
