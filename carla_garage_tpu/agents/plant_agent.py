@@ -110,7 +110,8 @@ def extract_tokens(cfg: GlobalConfig, pcfg: PlanTConfig, scene: Scene,
 
 
 def make_plant_policy(model: PlanT, params, pcfg: PlanTConfig,
-                      direct: bool = False):
+                      direct: bool = False,
+                      brake_threshold: float = 0.5):
   """Returns a PolicyFn running PlanT inside the env step.
 
   direct=True drives from the classified target speed + checkpoint aim
@@ -142,7 +143,9 @@ def make_plant_policy(model: PlanT, params, pcfg: PlanTConfig,
     if direct:
       probs = jax.nn.softmax(out["pred_target_speed"])
       ts = jnp.sum(probs * target_speeds, -1)
-      ts = jnp.where(probs[:, 0] > 0.5, 0.0, ts)   # brake_uncertainty 0.5
+      # brake_uncertainty_threshold (0.5 default; 0.33 = the longest6
+      # operating point, README.md:82-84)
+      ts = jnp.where(probs[:, 0] > brake_threshold, 0.0, ts)
       aim = out["pred_checkpoint"][:, 2]
       angle = jnp.degrees(jnp.arctan2(aim[:, 1], aim[:, 0])) / 90.0
       steer, throttle, brake, pt2, ps2 = control_pid_direct(

@@ -182,10 +182,23 @@ def relabel_with_plant(model: PlanT, params, ds: PlantDataset,
   return dataclasses.replace(ds, wp_label=wp, speed_label=sp)
 
 
+def estimate_speed_weights(ds: PlantDataset):
+  """Inverse-frequency target-speed class weights from the dataset
+  (estimate_class_distributions, config.py:154 / train.py)."""
+  counts = np.bincount(ds.speed_label, minlength=4).astype(np.float64)
+  counts = np.maximum(counts, 1.0)
+  w = len(ds) / (4.0 * counts)
+  return tuple(w.tolist())
+
+
 def train_plant(cfg: GlobalConfig, pcfg: PlanTConfig, ds: PlantDataset,
                 steps: int = 500, batch_size: int = 64, lr: float = 3e-4,
-                seed: int = 0, params=None, log_every: int = 100):
+                seed: int = 0, params=None, log_every: int = 100,
+                estimate_weights: bool = False):
   """Minimal training loop (train.py:643-996 analog). Returns params."""
+  global SPEED_WEIGHTS
+  if estimate_weights:
+    SPEED_WEIGHTS = estimate_speed_weights(ds)
   model = PlanT(pcfg)
   rng = np.random.default_rng(seed)
   if params is None:

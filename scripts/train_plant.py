@@ -74,7 +74,8 @@ def main():
   t0 = time.time()
   model, params, hist = train_plant(CFG, pcfg, ds, steps=args.steps,
                                     batch_size=args.batch, lr=3e-4,
-                                    log_every=max(args.steps // 20, 1))
+                                    log_every=max(args.steps // 20, 1),
+                                    estimate_weights=True)
   print("loss:", [round(h["loss"], 3) for h in hist], flush=True)
   print(f"training: {args.steps} steps in {time.time()-t0:.0f}s", flush=True)
   save_checkpoint(args.out, params,
@@ -97,8 +98,10 @@ def main():
       "expert_RC": float(jnp.mean(ds_e.score_route)),
       "samples": len(ds), "steps": args.steps,
   }
-  for name, direct in (("wp", False), ("direct", True)):
-    policy = make_plant_policy(model, params, pcfg, direct=direct)
+  for name, direct, thr in (("wp", False, 0.5), ("direct", True, 0.5),
+                            ("direct033", True, 0.33)):
+    policy = make_plant_policy(model, params, pcfg, direct=direct,
+                               brake_threshold=thr)
     state_p = state.replace(agent=plant_agent_reset(CFG, args.eval_routes))
     final_p = rollout_chunked(CFG, maps, lanes, scene, state_p, 6000,
                               chunk=512, policy=policy)
