@@ -197,7 +197,8 @@ def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,
   speed_cls = target_speed_labels(frames, cfg)
   ckpt = checkpoint_labels(frames, scene, tcfg.checkpoint_len)
   grid_hw = (tcfg.lidar_h // 8, tcfg.lidar_w // 8)
-  bev_ds = 256 // (grid_hw[0] * 2)            # label stride for bev head
+  # label stride: rendered BEV resolution -> bev-semantic head output size
+  bev_ds = cfg.sensor.lidar_resolution_height // (grid_hw[0] * 2)
 
   def loss_fn(params, f_idx, rng):
     rendered = render_frame_batch(cfg, maps, scene, frames, f_idx,

@@ -75,7 +75,7 @@ def main():
   model, params, hist = train_plant(CFG, pcfg, ds, steps=args.steps,
                                     batch_size=args.batch, lr=3e-4,
                                     log_every=max(args.steps // 20, 1),
-                                    estimate_weights=True)
+                                    estimate_weights=False)
   print("loss:", [round(h["loss"], 3) for h in hist], flush=True)
   print(f"training: {args.steps} steps in {time.time()-t0:.0f}s", flush=True)
   save_checkpoint(args.out, params,
