@@ -79,13 +79,23 @@ def criteria_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
   near_goal = jnp.linalg.norm(goal[:, 0] - ego.pos, axis=-1) < \
       ROUTE_MATCH_DIST
   completion = jnp.where(at_end | near_goal, 1.0, completion)
-  min_d = jnp.min(jnp.where(in_route, d, jnp.inf), -1)
+  # nearest-route distance for deviation / wrong-lane: the match pointer
+  # sits up to 10 m AHEAD of the ego, so this window looks behind too
+  qb = jnp.clip(cr.max_route_idx[:, None] - 16 + w[None], 0, R - 1)
+  wpb = jnp.take_along_axis(scene.route.points, qb[..., None], 1)
+  db = jnp.linalg.norm(wpb - ego.pos[:, None], axis=-1)
+  in_route_b = qb < scene.route.num_valid[:, None]
+  min_d = jnp.min(jnp.where(in_route_b, db, jnp.inf), -1)
   deviated = cr.deviated | (min_d > c.route_deviation_m)
 
-  # --- outside route lanes (:1040-1233 — % of distance off drivable road) ---
+  # --- outside route lanes (:1040-1233): distance driven off the drivable
+  # road OR outside the route's own lane (wrong-lane driving — the
+  # criterion counts both off-lane and wrong-direction lanes) ---
   on_road = maps.sample(scene.town_id[:, None], Layer.ROAD,
                         ego.pos[:, None])[:, 0]
-  outside_lane_m = cr.outside_lane_m + jnp.where(on_road, 0.0, step_m)
+  wrong_lane = on_road & (min_d > 5.0)     # clearly in an opposing lane
+  off = ~on_road | wrong_lane
+  outside_lane_m = cr.outside_lane_m + jnp.where(off, step_m, 0.0)
 
   # --- collisions (Collision criterion :300-437): counted on overlap ONSET
   # per actor, latched while contact persists (reference per-actor dedup) ---
