@@ -113,7 +113,7 @@ def run_synthetic_benchmark(cfg: GlobalConfig = None, n_routes: int = 8,
   return records, aggregate(records)
 
 
-def _scenario_setup(cfg, scen_ann: dict, episodes, B: int, seed: int):
+def _scenario_setup(cfg, scen_ann, episodes, B: int, seed: int):
   """Per-episode crossing walkers (Scenario3/4) + CONTROL_LOSS specs
   (Scenario1) from the benchmark's scenario annotations."""
   import jax.numpy as jnp
@@ -129,7 +129,8 @@ def _scenario_setup(cfg, scen_ann: dict, episodes, B: int, seed: int):
   mag = np.zeros((B, K), np.float32)
   valid = np.zeros((B, K), bool)
   for b, ep in enumerate(episodes):
-    near = importer.scenarios_near_route(scen_ann, ep.dense)
+    ann = scen_ann[b] if isinstance(scen_ann, list) else scen_ann
+    near = importer.scenarios_near_route(ann, ep.dense)
     sites = []
     cross = []
     for k in ("Scenario3", "Scenario4"):
@@ -161,12 +162,17 @@ def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
                         max_ticks: int = 60000, seed: int = 0,
                         policy=expert_step, assets_root=None,
                         use_scenarios: bool = True,
+                        single_batch: bool = False,
                         verbose: bool = True):
-  """Run a real benchmark's routes (grouped per town) inside the TPU sim.
+  """Run a real benchmark's routes inside the TPU sim.
 
   use_scenarios attaches crossing walkers + control-loss disturbances at
   the benchmark's published scenario trigger points
-  (all_towns_traffic_scenarios_public.json)."""
+  (all_towns_traffic_scenarios_public.json).
+
+  single_batch=True runs ALL towns' routes as ONE mixed-town batch — one
+  compile, one lax.scan for the whole benchmark (the maximal contrast to
+  the reference's 108 SLURM jobs). Needs HBM for the stacked rasters."""
   cfg = cfg or (longest6_config() if benchmark == "longest6"
                 else GlobalConfig())
   root = assets_root or importer.DEFAULT_ASSETS
@@ -175,6 +181,11 @@ def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
   for r in routes:
     if towns is None or r.town in towns:
       by_town[r.town].append(r)
+
+  if single_batch:
+    return _run_single_batch(cfg, by_town, root, reps, n_vehicles,
+                             n_walkers, max_ticks, seed, policy,
+                             use_scenarios, verbose)
 
   records = []
   for town_name, town_routes in sorted(by_town.items()):
@@ -215,6 +226,60 @@ def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
       print(f"{town_name}: {len(recs)} episodes, DS {ds:.1f}, "
             f"{time.time() - t0:.0f}s", flush=True)
   return records, aggregate(records)
+
+
+def _run_single_batch(cfg, by_town, root, reps, n_vehicles, n_walkers,
+                      max_ticks, seed, policy, use_scenarios, verbose):
+  """All routes of all towns in one mixed-town batch / one rollout."""
+  t0 = time.time()
+  towns, eps, ids, town_idx, town_names, anns = [], [], [], [], [], []
+  for ti, (town_name, town_routes) in enumerate(sorted(by_town.items())):
+    imported = importer.load_town(town_name, root, rng_seed=seed)
+    adapter = importer.as_synthetic_town(imported, [])
+    towns.append(adapter)
+    ann = importer.load_scenarios(town_name, root) if use_scenarios else {}
+    for r in town_routes:
+      ep = compile_route(adapter, r.keypoints_xy, r.keypoints_yaw)
+      for rep in range(reps):
+        eps.append(ep)
+        ids.append(f"{r.route_id}_rep{rep}")
+        town_idx.append(ti)
+        town_names.append(town_name)
+        anns.append(ann)
+  if verbose:
+    print(f"compiled {len(eps)} episodes over {len(towns)} towns "
+          f"in {time.time() - t0:.0f}s", flush=True)
+
+  walker_sites = None
+  if use_scenarios:
+    walker_sites, specs, scen_state = _scenario_setup(
+        cfg, anns, eps, len(eps), seed)
+  maps, lanes, scene, state = build_batch(
+      cfg, towns, eps, seed=seed, n_vehicles=n_vehicles,
+      n_walkers=n_walkers, walker_sites=walker_sites,
+      town_of_episode=town_idx)
+  if use_scenarios:
+    scene = scene.replace(scenarios=specs)
+    state = state.replace(scenario=scen_state)
+  t1 = time.time()
+  final = rollout_chunked(cfg, maps, lanes, scene, state, max_ticks,
+                          chunk=1024, policy=policy)
+  records = []
+  for i, (rid, tn) in enumerate(zip(ids, town_names)):
+    records += _records(cfg,
+                        jax_tree_slice(scene, i), jax_tree_slice(final, i),
+                        [rid], tn)
+  if verbose:
+    print(f"rollout: {len(eps)} episodes in {time.time() - t1:.0f}s",
+          flush=True)
+  return records, aggregate(records)
+
+
+def jax_tree_slice(tree, i):
+  import jax
+  return jax.tree.map(
+      lambda x: x[i:i + 1] if hasattr(x, "ndim") and x.ndim >= 1 else x,
+      tree)
 
 
 def write_endpoint(records, global_stats, path: str):

@@ -127,23 +127,44 @@ def compile_route(town: SyntheticTown, keypoints_xy: np.ndarray,
                      sparse_cmd=sparse_cmd, length_m=length)
 
 
-def build_batch(cfg: GlobalConfig, town: SyntheticTown,
+def build_batch(cfg: GlobalConfig, town,
                 episodes: list[HostEpisode], seed: int = 0,
                 n_vehicles: int = 8, n_walkers: int = 2,
                 npc_lane_per_episode: bool = False,
-                walker_sites: list | None = None):
-  """Returns (MapStack, LaneGraph, Scene, SimState) for a batch of episodes
-  in one town. walker_sites: optional per-episode list of (pos[2], dir[2])
-  crossing spawns (from benchmark scenario annotations) overriding the
-  random placement."""
+                walker_sites: list | None = None,
+                town_of_episode: list | None = None):
+  """Returns (MapStack, LaneGraph, Scene, SimState) for a batch of
+  episodes.
+
+  `town` is a single SyntheticTown or a LIST of towns with
+  `town_of_episode[b]` giving each episode's town index — a mixed-town
+  batch runs as ONE jitted rollout (the full Longest6 in one scan).
+  walker_sites: optional per-episode (pos[2], dir[2]) crossing spawns
+  (from benchmark scenario annotations) overriding random placement.
+  In multi-town mode NPC lanes are per-episode routes (lane b = route b).
+  """
   rng = np.random.default_rng(seed)
   B = len(episodes)
   s = cfg.sim
   R, Rs = s.max_route_points, MAX_SPARSE
   V, W, L, S = s.max_vehicles, s.max_walkers, s.max_lights, s.max_stop_signs
 
-  maps = stack_towns([town.raster], [town.world_offset], town.ppm)
-  lanes = LaneGraph.from_polylines(town.lane_polys, town.lane_successors)
+  multi = isinstance(town, (list, tuple))
+  if multi:
+    towns = list(town)
+    assert town_of_episode is not None and len(town_of_episode) == B
+    maps = stack_towns([t.raster for t in towns],
+                       [t.world_offset for t in towns], towns[0].ppm)
+    # NPC lanes = the episode routes themselves
+    lanes = LaneGraph.from_polylines([ep.dense[::4] for ep in episodes],
+                                     [[] for _ in episodes])
+    npc_lane_per_episode = True
+    town_ids = np.asarray(town_of_episode, np.int32)
+  else:
+    towns = [town]
+    maps = stack_towns([town.raster], [town.world_offset], town.ppm)
+    lanes = LaneGraph.from_polylines(town.lane_polys, town.lane_successors)
+    town_ids = np.zeros((B,), np.int32)
 
   # ---- routes ----
   pts = np.zeros((B, R, 2), np.float32)
@@ -182,28 +203,37 @@ def build_batch(cfg: GlobalConfig, town: SyntheticTown,
     out[:min(len(a), n)] = a[:n]
     return out
 
-  nl = min(len(town.light_pos), L)
+  def town_of(b):
+    return towns[int(town_ids[b])]
+
+  lp = np.stack([pad(town_of(b).light_pos, L) for b in range(B)])
   lights = TrafficLights(
-      pos=jnp.asarray(np.broadcast_to(pad(town.light_pos, L), (B, L, 2))),
-      yaw=jnp.asarray(np.broadcast_to(pad(town.light_yaw, L), (B, L))),
-      extent=jnp.asarray(np.broadcast_to(pad(town.light_extent, L),
-                                         (B, L, 2))),
-      offset_s=jnp.asarray(np.broadcast_to(pad(town.light_offset_s, L),
-                                           (B, L))),
-      green_s=jnp.asarray(np.broadcast_to(pad(town.light_green_s, L),
-                                          (B, L))),
-      yellow_s=jnp.asarray(np.broadcast_to(pad(town.light_yellow_s, L),
-                                           (B, L))),
-      red_s=jnp.asarray(np.broadcast_to(pad(town.light_red_s, L), (B, L))),
-      valid=jnp.asarray(np.broadcast_to(
-          np.arange(L) < nl, (B, L))))
-  ns = min(len(town.stop_pos), S)
+      pos=jnp.asarray(lp),
+      yaw=jnp.asarray(np.stack([pad(town_of(b).light_yaw, L)
+                                for b in range(B)])),
+      extent=jnp.asarray(np.stack([pad(town_of(b).light_extent, L)
+                                   for b in range(B)])),
+      offset_s=jnp.asarray(np.stack([pad(town_of(b).light_offset_s, L)
+                                     for b in range(B)])),
+      green_s=jnp.asarray(np.stack([pad(town_of(b).light_green_s, L)
+                                    for b in range(B)])),
+      yellow_s=jnp.asarray(np.stack([pad(town_of(b).light_yellow_s, L)
+                                     for b in range(B)])),
+      red_s=jnp.asarray(np.stack([pad(town_of(b).light_red_s, L)
+                                  for b in range(B)])),
+      valid=jnp.asarray(np.stack([
+          np.arange(L) < min(len(town_of(b).light_pos), L)
+          for b in range(B)])))
   stops = StopSigns(
-      pos=jnp.asarray(np.broadcast_to(pad(town.stop_pos, S), (B, S, 2))),
-      yaw=jnp.asarray(np.broadcast_to(pad(town.stop_yaw, S), (B, S))),
-      extent=jnp.asarray(np.broadcast_to(pad(town.stop_extent, S),
-                                         (B, S, 2))),
-      valid=jnp.asarray(np.broadcast_to(np.arange(S) < ns, (B, S))))
+      pos=jnp.asarray(np.stack([pad(town_of(b).stop_pos, S)
+                                for b in range(B)])),
+      yaw=jnp.asarray(np.stack([pad(town_of(b).stop_yaw, S)
+                                for b in range(B)])),
+      extent=jnp.asarray(np.stack([pad(town_of(b).stop_extent, S)
+                                   for b in range(B)])),
+      valid=jnp.asarray(np.stack([
+          np.arange(S) < min(len(town_of(b).stop_pos), S)
+          for b in range(B)])))
 
   # ---- NPC vehicles on random lanes, away from the ego start ----
   vpos = np.zeros((B, V, 2), np.float32)
@@ -211,7 +241,9 @@ def build_batch(cfg: GlobalConfig, town: SyntheticTown,
   vvalid = np.zeros((B, V), bool)
   vlane = np.zeros((B, V), np.int32)
   vt = np.zeros((B, V), np.float32)
-  n_lanes = len(town.lane_polys)
+  n_lanes = B if multi else len(town.lane_polys)
+  lane_polys = [ep.dense[::4] for ep in episodes] if multi \
+      else town.lane_polys
   for b in range(B):
     ego0 = episodes[b].dense[0]
     placed = 0
@@ -221,7 +253,7 @@ def build_batch(cfg: GlobalConfig, town: SyntheticTown,
       # imported towns: keep each episode's NPCs on its own route lane so
       # opposite-direction lane overlaps can't deadlock head-on
       li = b % n_lanes if npc_lane_per_episode else rng.integers(0, n_lanes)
-      poly = town.lane_polys[li]
+      poly = lane_polys[li]
       seg_ln = np.linalg.norm(np.diff(poly, axis=0), axis=-1)
       total = seg_ln.sum()
       t = float(rng.uniform(0.1, 0.9)) * total
@@ -295,7 +327,7 @@ def build_batch(cfg: GlobalConfig, town: SyntheticTown,
                      cross_dist=jnp.asarray(wcross),
                      walk_speed=jnp.full((B, W), WALKER_SPEED))
 
-  scene = Scene(town_id=jnp.zeros((B,), jnp.int32), route=route,
+  scene = Scene(town_id=jnp.asarray(town_ids), route=route,
                 lights=lights, stops=stops, walkers_spec=wspec,
                 timeout_ticks=jnp.asarray(timeout))
 
