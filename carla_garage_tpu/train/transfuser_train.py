@@ -200,7 +200,7 @@ def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,
   # label stride: rendered BEV resolution -> bev-semantic head output size
   bev_ds = cfg.sensor.lidar_resolution_height // (grid_hw[0] * 2)
 
-  def loss_fn(params, f_idx, rng):
+  def make_batch(f_idx, rng):
     rendered = render_frame_batch(cfg, maps, scene, frames, f_idx,
                                   camera_grid, lidar_grid, rng)
     batch = dict(rendered)
@@ -213,6 +213,14 @@ def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,
     batch["bev_semantic_ds"] = rendered["bev_semantic"][
         :, ::bev_ds, ::bev_ds].astype(jnp.int32)
     batch["centernet"] = centernet_targets(cfg, tcfg, batch, grid_hw)
+    return batch
+
+  def loss_fn(params, f_idx, rng):
+    # f_idx [K] frame indices — sequential renders, concatenated batch
+    rngs = jax.random.split(rng, f_idx.shape[0])
+    batches = jax.lax.map(lambda a: make_batch(a[0], a[1]), (f_idx, rngs))
+    batch = jax.tree.map(
+        lambda x: x.reshape((-1,) + x.shape[2:]), batches)
     return transfuser_loss(cfg, tcfg, model, params, batch)
 
   @jax.jit
@@ -260,7 +268,7 @@ def train_transfuser(cfg: GlobalConfig, tcfg: TransfuserConfig, maps, scene,
   usable = np.nonzero(np.asarray(wp_valid).any(-1))[0]
   history = []
   for i in range(steps):
-    f_idx = int(np_rng.choice(usable))
+    f_idx = jnp.asarray(np_rng.choice(usable, size=2), jnp.int32)
     rng, sub = jax.random.split(rng)
     params, opt_state, aux = step_fn(params, opt_state, f_idx, sub)
     if i % log_every == 0 or i == steps - 1:

@@ -7,6 +7,12 @@ Usage: python scripts/train_transfuser.py [--steps 1500] [--episodes 16]
 
 from __future__ import annotations
 
+import os as _os
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+
+
 import argparse
 import dataclasses
 import json
