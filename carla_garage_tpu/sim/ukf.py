@@ -9,6 +9,7 @@ constants), identity measurement, angle-aware means/residuals
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -56,7 +57,7 @@ def _weights():
 def _sigma_points(x, P):
   """x [B,4], P [B,4,4] -> [B,2N+1,4]."""
   # numerically robust Cholesky of (N+lambda) P
-  A = jnp.linalg.cholesky((N + LAMBDA) * (P + 1e-9 * jnp.eye(N)))
+  A = jnp.linalg.cholesky((N + LAMBDA) * (P + 1e-6 * jnp.eye(N)))
   pts = jnp.concatenate([
       x[:, None],
       x[:, None] + jnp.swapaxes(A, -1, -2),
@@ -66,9 +67,12 @@ def _sigma_points(x, P):
 
 def _angle_mean(pts, wm):
   """Weighted mean with circular yaw (state_mean, sensor_agent.py:797-813)."""
-  m = jnp.einsum("s,bsd->bd", wm, pts)
-  sin_m = jnp.einsum("s,bs->b", wm, jnp.sin(pts[..., 2]))
-  cos_m = jnp.einsum("s,bs->b", wm, jnp.cos(pts[..., 2]))
+  m = jnp.einsum("s,bsd->bd", wm, pts,
+                 precision=jax.lax.Precision.HIGHEST)
+  sin_m = jnp.einsum("s,bs->b", wm, jnp.sin(pts[..., 2]),
+                    precision=jax.lax.Precision.HIGHEST)
+  cos_m = jnp.einsum("s,bs->b", wm, jnp.cos(pts[..., 2]),
+                    precision=jax.lax.Precision.HIGHEST)
   return m.at[:, 2].set(jnp.arctan2(sin_m, cos_m))
 
 
@@ -88,7 +92,8 @@ def ukf_predict(state: UKFState, steer, throttle, brake, cfg: SimConfig,
   fpts = jnp.concatenate([pos, yaw[..., None], spd[..., None]], -1)
   xm = _angle_mean(fpts, wm)
   d = _residual(fpts, xm[:, None])
-  P = jnp.einsum("s,bsi,bsj->bij", wc, d, d) + Q
+  P = jnp.einsum("s,bsi,bsj->bij", wc, d, d,
+                precision=jax.lax.Precision.HIGHEST) + Q
   return state.replace(x=xm, P=P)
 
 
@@ -98,17 +103,21 @@ def ukf_update(state: UKFState, z: jnp.ndarray) -> UKFState:
   pts = _sigma_points(state.x, state.P)
   zm = _angle_mean(pts, wm)
   dz = _residual(pts, zm[:, None])
-  S = jnp.einsum("s,bsi,bsj->bij", wc, dz, dz) + R
+  S = jnp.einsum("s,bsi,bsj->bij", wc, dz, dz,
+               precision=jax.lax.Precision.HIGHEST) + R
   dx = _residual(pts, state.x[:, None])
-  C = jnp.einsum("s,bsi,bsj->bij", wc, dx, dz)
+  C = jnp.einsum("s,bsi,bsj->bij", wc, dx, dz,
+               precision=jax.lax.Precision.HIGHEST)
   K = jnp.linalg.solve(jnp.swapaxes(S, -1, -2),
                        jnp.swapaxes(C, -1, -2))
   K = jnp.swapaxes(K, -1, -2)
   innov = _residual(z, zm)
-  x = state.x + jnp.einsum("bij,bj->bi", K, innov)
+  x = state.x + jnp.einsum("bij,bj->bi", K, innov,
+                             precision=jax.lax.Precision.HIGHEST)
   x = x.at[:, 2].set(normalize_angle(x[:, 2]))
-  P = state.P - jnp.einsum("bij,bjk,blk->bil", K, S, K)
-  P = 0.5 * (P + jnp.swapaxes(P, -1, -2)) + 1e-9 * jnp.eye(N)  # keep PSD
+  P = state.P - jnp.einsum("bij,bjk,blk->bil", K, S, K,
+                          precision=jax.lax.Precision.HIGHEST)
+  P = 0.5 * (P + jnp.swapaxes(P, -1, -2)) + 1e-6 * jnp.eye(N)  # keep PSD
   # first measurement initializes the state directly (sensor_agent.py:161)
   init = state.initialized
   x = jnp.where(init[:, None], x, z)
