@@ -204,6 +204,13 @@ def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,
     rendered = render_frame_batch(cfg, maps, scene, frames, f_idx,
                                   camera_grid, lidar_grid, rng)
     batch = dict(rendered)
+    # velocity-input dropout: zero the measured speed for 15% of samples so
+    # the model cannot learn the "speed==0 => brake" shortcut (the velocity
+    # bias analyzed by the reference paper; closed-loop launches depend on
+    # predicting GO at standstill)
+    drop = jax.random.bernoulli(jax.random.fold_in(rng, 7), 0.15,
+                                rendered["speed"].shape)
+    batch["speed"] = jnp.where(drop, 0.0, rendered["speed"])
     batch["depth_norm"] = rendered["depth"] / 85.0
     batch["command_onehot"] = command_onehot(
         jnp.full(rendered["speed"].shape, 4, jnp.int32))
