@@ -47,6 +47,7 @@ class Frames:
   wlk_extent: jnp.ndarray
   wlk_valid: jnp.ndarray
   target_point: jnp.ndarray  # [F,B,2] ego frame (sparse route)
+  command: jnp.ndarray       # [F,B] int32 navigation command at the TP
   dense_idx: jnp.ndarray     # [F,B] dense-planner pointer
   steer: jnp.ndarray         # [F,B] expert action labels
   throttle: jnp.ndarray
@@ -69,7 +70,7 @@ def collect_expert_frames(cfg: GlobalConfig, maps: MapStack,
         st)
     ex = st.expert
     ego = st.ego
-    tp_world, _ = jax.vmap(
+    tp_world, tp_cmd = jax.vmap(
         lambda pts, c, nv, i: route_lookup(pts, c, nv, i, 1))(
         scene.route.sparse_points, scene.route.sparse_cmd,
         scene.route.sparse_num_valid, ex.planner_sparse.idx)
@@ -83,6 +84,7 @@ def collect_expert_frames(cfg: GlobalConfig, maps: MapStack,
         wlk_speed=st.walkers.speed, wlk_extent=st.walkers.extent,
         wlk_valid=st.walkers.valid,
         target_point=geo.world_to_ego(tp_world, ego.pos, ego.yaw),
+        command=tp_cmd.astype(jnp.int32),
         dense_idx=ex.planner_dense.idx,
         steer=ex.steer, throttle=jnp.zeros_like(ex.steer),
         brake=(ex.vehicle_hazard | ex.walker_hazard | ex.light_hazard |

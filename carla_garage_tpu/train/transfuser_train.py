@@ -81,7 +81,8 @@ def render_frame_batch(cfg: GlobalConfig, maps, scene: Scene,
               veh_valid=veh.valid, veh_speed=veh.speed,
               veh_brake=take(frames.veh_brake),
               ego_pos=ego.pos, ego_yaw=ego.yaw, speed=ego.speed,
-              target_point=take(frames.target_point))
+              target_point=take(frames.target_point),
+              command=take(frames.command))
 
 
 def centernet_targets(cfg: GlobalConfig, tcfg: TransfuserConfig, batch,
@@ -212,8 +213,7 @@ def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,
                                 rendered["speed"].shape)
     batch["speed"] = jnp.where(drop, 0.0, rendered["speed"])
     batch["depth_norm"] = rendered["depth"] / 85.0
-    batch["command_onehot"] = command_onehot(
-        jnp.full(rendered["speed"].shape, 4, jnp.int32))
+    batch["command_onehot"] = command_onehot(rendered["command"])
     batch["wp_label"] = wp[f_idx]
     batch["ckpt_label"] = ckpt[f_idx]
     batch["speed_label"] = speed_cls[f_idx]
