@@ -1,0 +1,87 @@
+"""Criteria semantics unit tests on hand-built scenes."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from carla_garage_tpu.config import DEFAULT_CONFIG as CFG, longest6_config
+from carla_garage_tpu.sim.criteria import criteria_reset, criteria_step
+from carla_garage_tpu.sim.scene_builder import make_synthetic_batch
+from carla_garage_tpu.structs import LightState
+
+
+def _setup():
+  town, maps, lanes, scene, state = make_synthetic_batch(
+      CFG, batch=1, seed=3, n_vehicles=1, n_walkers=1)
+  return maps, scene, state
+
+
+def _step_at(maps, scene, state, pos, speed, tick=100):
+  """Place the ego and run one criteria update."""
+  st = state.replace(
+      ego=state.ego.replace(pos=jnp.asarray([pos], jnp.float32),
+                            speed=jnp.asarray([speed], jnp.float32)),
+      tick=jnp.asarray([tick], jnp.int32))
+  cr = criteria_step(CFG, maps, scene, st.ego.pos, st)
+  return st.replace(criteria=cr)
+
+
+def test_red_light_crossing_and_latch():
+  maps, scene, state = _setup()
+  lp = np.asarray(scene.lights.pos[0])
+  lv = np.asarray(scene.lights.valid[0])
+  li = int(np.nonzero(lv)[0][0])
+  light_pos = lp[li]
+  # pick a time when this light is RED
+  for t in range(0, 600, 10):
+    st = state.replace(tick=jnp.asarray([t], jnp.int32))
+    if int(scene.lights.state_at(st.time_s)[0, li]) == LightState.RED:
+      break
+  # moving through the trigger while red: infraction once
+  st = _step_at(maps, scene, state, light_pos, speed=5.0, tick=t)
+  assert int(st.criteria.n_red_light[0]) == 1
+  # still inside next tick: latched, no second count
+  st2 = _step_at(maps, scene, st, light_pos, speed=5.0, tick=t)
+  assert int(st2.criteria.n_red_light[0]) == 1
+  # standing still inside while red: no infraction (crossing = moving)
+  st3 = _step_at(maps, scene, state, light_pos, speed=0.0, tick=t)
+  assert int(st3.criteria.n_red_light[0]) == 0
+
+
+def test_stop_sign_fsm():
+  maps, scene, state = _setup()
+  sp = np.asarray(scene.stops.pos[0])
+  sv = np.asarray(scene.stops.valid[0])
+  si = int(np.nonzero(sv)[0][0])
+  stop_pos = sp[si]
+  far = stop_pos + np.array([50.0, 50.0])
+  # drive through without stopping -> infraction when leaving
+  st = _step_at(maps, scene, state, stop_pos, speed=5.0)
+  assert int(st.criteria.n_stop_sign[0]) == 0     # still inside: pending
+  st = _step_at(maps, scene, st, far, speed=5.0)
+  assert int(st.criteria.n_stop_sign[0]) == 1
+  # enter, stop, leave -> satisfied, no infraction
+  st = _step_at(maps, scene, state, stop_pos, speed=5.0)
+  st = _step_at(maps, scene, st, stop_pos, speed=0.0)
+  st = _step_at(maps, scene, st, far, speed=5.0)
+  assert int(st.criteria.n_stop_sign[0]) == 0
+
+
+def test_blocked_timer():
+  maps, scene, state = _setup()
+  pos = np.asarray(state.ego.pos[0])
+  st = state
+  n = int(CFG.criteria.blocked_seconds * CFG.sim.fps) + 2
+  cr = st.criteria.replace(
+      blocked_ticks=jnp.asarray([n], jnp.int32))
+  st = st.replace(criteria=cr)
+  st = _step_at(maps, scene, st, pos, speed=0.0)
+  assert bool(st.criteria.blocked[0])
+
+
+def test_longest6_stop_penalty_is_one():
+  cfg = longest6_config()
+  assert cfg.criteria.penalty_stop == 1.0
+  assert CFG.criteria.penalty_stop == 0.8
