@@ -25,7 +25,7 @@ from carla_garage_tpu.config import DEFAULT_CONFIG as CFG
 from carla_garage_tpu.sim.episode import rollout
 from carla_garage_tpu.sim.scene_builder import make_synthetic_batch
 
-BATCH = 64
+BATCH = 256
 TICKS = 200
 TARGET_STEPS_PER_SEC = 10_000.0
 

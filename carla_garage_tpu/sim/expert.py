@@ -156,6 +156,20 @@ def _forecast(cfg: GlobalConfig, scene: Scene, state: SimState,
   idx_margin = (1.0 / tgt * e.bicycle_frame_rate).astype(jnp.int32)
   bound = jnp.minimum(idx_margin + idx_orient, n_future)       # [B]
 
+  # --- localize the route for the rollout: the pointer can only advance
+  # ~35 points over the 4 s horizon, so the scan reads a small [B,LOCAL]
+  # slice instead of dragging the full [B,R] route arrays through every
+  # iteration (VMEM-resident; fixes super-linear batch scaling) ---
+  LOCAL = 128
+  R = scene.route.points.shape[1]
+  offs = jnp.arange(LOCAL)
+  qidx = jnp.clip(planner_idx[:, None] + offs[None], 0, R - 1)  # [B,LOCAL]
+  local_pts = jnp.take_along_axis(scene.route.points, qidx[..., None], 1)
+  local_seg = jnp.take_along_axis(scene.route.seg_len, qidx, 1)
+  local_cmd = jnp.take_along_axis(scene.route.cmd, qidx, 1)
+  local_nv = jnp.clip(scene.route.num_valid - planner_idx, 0, LOCAL)
+  local_idx0 = jnp.zeros_like(planner_idx)
+
   # The safety box steers with the PREVIOUS iteration's forecast steering;
   # its steer input each iteration is the ego carry steer (steer_a), which
   # at iteration o holds fut_steer[o-1] (init: ex.steer) — the reference
@@ -192,12 +206,11 @@ def _forecast(cfg: GlobalConfig, scene: Scene, state: SimState,
         lambda i, pts, sl, nv, p: planner_step(
             PlannerState(idx=i, is_last=jnp.zeros((), bool)),
             pts, sl, nv, p, dpp))(
-        pidx, scene.route.points, scene.route.seg_len,
-        scene.route.num_valid, loc)
+        pidx, local_pts, local_seg, local_nv, loc)
     pidx2, is_last = pl.idx, pl.is_last
     target = jax.vmap(
         lambda pts, c, nv, i: route_lookup(pts, c, nv, i, 1)[0])(
-        scene.route.points, scene.route.cmd, scene.route.num_valid, pidx2)
+        local_pts, local_cmd, local_nv, pidx2)
     angle = geo.angle_to_target_deg(loc, yaw, target) / 90.0
     angle = jnp.where(is_last, 0.0, angle)
     ptw2, steer_out = pid_step(PIDState(ptw), angle, _turn_params(cfg))
@@ -217,7 +230,7 @@ def _forecast(cfg: GlobalConfig, scene: Scene, state: SimState,
 
   init = (ego.pos, ego.yaw, ego.speed,
           ex.steer, throttle0, jnp.zeros(B, bool),
-          planner_idx, ex.pid_turn.window, ex.pid_speed.window,
+          local_idx0, ex.pid_turn.window, ex.pid_speed.window,
           jnp.zeros((B, 2)), jnp.zeros(B), tgt, jnp.zeros(B, bool))
   final, (cf, cb, eyaw) = jax.lax.scan(body2, init, jnp.arange(n_blocks))
   cf = cf.reshape((n_future,) + cf.shape[2:])
