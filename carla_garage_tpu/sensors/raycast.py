@@ -69,19 +69,51 @@ def ray_box(o, d, center, yaw, extent):
   return jnp.where(hit, t, jnp.inf)
 
 
+def _gather_boxes(cfg: GlobalConfig, scene: Scene, state: SimState):
+  """All scene boxes as one [B,K,9] array (kernel layout:
+  cx, cy, cos, sin, ex, ey, ez, class, valid)."""
+  veh, wlk = state.vehicles, state.walkers
+  lights = scene.lights
+
+  def pack(pos, yaw, ext_xy, ez, cls_id, valid):
+    K = yaw.shape[1]
+    return jnp.stack([
+        pos[..., 0], pos[..., 1], jnp.cos(yaw), jnp.sin(yaw),
+        ext_xy[..., 0], ext_xy[..., 1],
+        jnp.full_like(yaw, ez), jnp.full_like(yaw, float(cls_id)),
+        valid.astype(jnp.float32)], -1)
+
+  return jnp.concatenate([
+      pack(veh.pos, veh.yaw, veh.extent, VEHICLE_HEIGHT / 2,
+           Sem.VEHICLE, veh.valid),
+      pack(wlk.pos, wlk.yaw, wlk.extent, WALKER_HEIGHT / 2,
+           Sem.WALKER, wlk.valid),
+      pack(lights.pos, lights.yaw,
+           jnp.broadcast_to(jnp.array([0.3, 0.3]),
+                            lights.pos.shape[:-1] + (2,)),
+           LIGHT_POLE_HEIGHT / 2, Sem.LIGHT, lights.valid),
+  ], axis=1)
+
+
 def cast_rays(cfg: GlobalConfig, maps: MapStack, scene: Scene,
               state: SimState, origins: jnp.ndarray, dirs: jnp.ndarray,
-              max_range: float = MAX_DEPTH):
+              max_range: float = MAX_DEPTH, use_pallas: bool | None = None):
   """origins/dirs [B,N,3] world frame -> dict(depth [B,N], sem [B,N]).
 
-  Dense reference implementation: tests every ray against every actor box.
+  Box intersections run in the Pallas raycast kernel on TPU (rays tiled in
+  VMEM, boxes in SMEM); the dense XLA path below is the reference/fallback.
+  Note: the kernel assumes one ray origin per episode (true for camera and
+  LiDAR mounts).
   """
+  import jax as _jax
   veh, wlk = state.vehicles, state.walkers
   B, N = origins.shape[:2]
+  if use_pallas is None:
+    use_pallas = _jax.devices()[0].platform != "cpu"
 
-  # --- ground plane ---
-  dz = dirs[..., 2]
-  t_ground = jnp.where(dz < -1e-6, -origins[..., 2] / dz, jnp.inf)
+  # --- ground plane (shared) ---
+  dz_ = dirs[..., 2]
+  t_ground = jnp.where(dz_ < -1e-6, -origins[..., 2] / dz_, jnp.inf)
   gpt = origins[..., :2] + dirs[..., :2] * t_ground[..., None]
   town = scene.town_id[:, None]
   road = maps.sample(town, Layer.ROAD, gpt)
@@ -91,9 +123,40 @@ def cast_rays(cfg: GlobalConfig, maps: MapStack, scene: Scene,
                          jnp.where(road, Sem.ROAD,
                                    jnp.where(sidewalk, Sem.SIDEWALK,
                                              Sem.SKY)))
-  # treat everything (incl. off-map ground) as a hit; class 0 = unlabeled
   best_t = t_ground
   best_sem = jnp.where(jnp.isfinite(t_ground), ground_sem, Sem.SKY)
+
+  if use_pallas:
+    from carla_garage_tpu.ops.pallas.raycast import raycast_boxes
+    TILE_N = 1024
+    Np = -(-N // TILE_N) * TILE_N
+    dirs_p = jnp.concatenate(
+        [dirs, jnp.broadcast_to(jnp.array([1.0, 0.0, 1.0]),
+                                (B, Np - N, 3))], axis=1) \
+        if Np != N else dirs
+    boxes = _gather_boxes(cfg, scene, state)
+    t_box, cls_box = raycast_boxes(origins[:, 0], dirs_p, boxes)
+    t_box = t_box[:, :N]
+    cls_box = cls_box[:, :N]
+    closer = t_box < best_t
+    best_t = jnp.where(closer, t_box, best_t)
+    best_sem = jnp.where(closer, cls_box, best_sem)
+    depth = jnp.where(jnp.isfinite(best_t) & (best_t < 1e8), best_t,
+                      max_range)
+    depth = jnp.minimum(depth, max_range)
+    sem = jnp.where(best_t <= max_range, best_sem, Sem.SKY)
+    return {"depth": depth, "sem": sem.astype(jnp.int32)}
+
+  return _cast_rays_dense(cfg, scene, state, origins, dirs, best_t,
+                          best_sem, max_range)
+
+
+def _cast_rays_dense(cfg: GlobalConfig, scene: Scene, state: SimState,
+                     origins, dirs, best_t, best_sem,
+                     max_range: float = MAX_DEPTH):
+  """Dense reference implementation: every ray against every actor box.
+  Receives the ground-plane result in (best_t, best_sem)."""
+  veh, wlk = state.vehicles, state.walkers
 
   def test_boxes(best_t, best_sem, centers, yaws, extents, valid, sem_id):
     # centers [B,K,2], extents [B,K,3]
