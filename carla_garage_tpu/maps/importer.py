@@ -79,8 +79,11 @@ def load_town(name: str, root: str = DEFAULT_ASSETS,
 
   off = ~(road | sidewalk)
   obstacle = ndimage.binary_erosion(off, iterations=int(2.5 * ppm))
+  from carla_garage_tpu.maps.synthetic import ground_semantic_channel
+  ground_sem = ground_semantic_channel(road, sidewalk, lane_all)
   raster = np.stack([road, sidewalk, lane_all, broken, stopline,
                      junction, obstacle]).astype(np.uint8) * 255
+  raster = np.concatenate([raster, ground_sem[None]], 0)
   assert raster.shape[0] == Layer.NUM
 
   # --- traffic lights from stop-line blobs ---

@@ -19,6 +19,18 @@ import numpy as np
 from carla_garage_tpu.maps.town_map import Layer
 
 LANE_W = 3.5            # lane width (m)
+
+
+def ground_semantic_channel(road, sidewalk, lane_all):
+  """Per-pixel camera semantic class (sensors.raycast.Sem values):
+  road line 5 > road 2 > sidewalk 6 > unlabeled 0 — one gather at render
+  time instead of three layer samples."""
+  import numpy as _np
+  sem = _np.zeros(road.shape, _np.uint8)
+  sem[sidewalk] = 6
+  sem[road] = 2
+  sem[lane_all] = 5
+  return sem
 SIDEWALK_W = 2.0
 JUNCTION_HALF = 8.0     # junction square half-extent (m)
 LIGHT_GREEN_S = 10.0
@@ -192,8 +204,10 @@ def make_town(n_x: int = 4, n_y: int = 4, block: float = 120.0,
   from scipy import ndimage
   off = ~(road | sidewalk)
   obstacle = ndimage.binary_erosion(off, iterations=int(2.5 * ppm))
+  ground_sem = ground_semantic_channel(road, sidewalk, lane_all)
   raster = np.stack([road, sidewalk, lane_all, lane_broken, stopline,
                      junction, obstacle]).astype(np.uint8) * 255
+  raster = np.concatenate([raster, ground_sem[None]], 0)
   assert raster.shape[0] == Layer.NUM
 
   if lights:

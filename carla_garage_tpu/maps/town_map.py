@@ -26,7 +26,8 @@ class Layer:
   STOPLINE = 4
   JUNCTION = 5
   OBSTACLE = 6     # solid static geometry (buildings): off-map eroded ~2.5 m
-  NUM = 7
+  GROUND_SEM = 7   # precomputed camera semantic class per ground pixel
+  NUM = 8
 
 
 @struct.dataclass
@@ -62,6 +63,21 @@ class MapStack:
     pyc = jnp.clip(py, 0, h - 1)
     val = self.layers[town_id, channel, pyc, pxc]
     return jnp.where(inb, val > 0, False)
+
+  def sample_value(self, town_id: jnp.ndarray, channel: int,
+                   xy: jnp.ndarray) -> jnp.ndarray:
+    """Raw uint8 raster value (0 out of bounds). xy [..,2] -> [..]."""
+    p = self.world_to_pixel(town_id[..., None] if jnp.ndim(town_id) and
+                            jnp.ndim(town_id) < jnp.ndim(xy) - 1 else town_id,
+                            xy)
+    px = jnp.round(p[..., 0]).astype(jnp.int32)
+    py = jnp.round(p[..., 1]).astype(jnp.int32)
+    h, w = self.layers.shape[-2], self.layers.shape[-1]
+    inb = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+    pxc = jnp.clip(px, 0, w - 1)
+    pyc = jnp.clip(py, 0, h - 1)
+    val = self.layers[town_id, channel, pyc, pxc]
+    return jnp.where(inb, val, 0).astype(jnp.int32)
 
 
 def stack_towns(rasters: list[np.ndarray], offsets: list[np.ndarray],

@@ -111,18 +111,12 @@ def cast_rays(cfg: GlobalConfig, maps: MapStack, scene: Scene,
   if use_pallas is None:
     use_pallas = _jax.devices()[0].platform != "cpu"
 
-  # --- ground plane (shared) ---
+  # --- ground plane (shared): single precomputed-semantic gather ---
   dz_ = dirs[..., 2]
   t_ground = jnp.where(dz_ < -1e-6, -origins[..., 2] / dz_, jnp.inf)
   gpt = origins[..., :2] + dirs[..., :2] * t_ground[..., None]
   town = scene.town_id[:, None]
-  road = maps.sample(town, Layer.ROAD, gpt)
-  lane = maps.sample(town, Layer.LANE_MARKING_ALL, gpt)
-  sidewalk = maps.sample(town, Layer.SIDEWALK, gpt)
-  ground_sem = jnp.where(lane, Sem.ROAD_LINE,
-                         jnp.where(road, Sem.ROAD,
-                                   jnp.where(sidewalk, Sem.SIDEWALK,
-                                             Sem.SKY)))
+  ground_sem = maps.sample_value(town, Layer.GROUND_SEM, gpt)
   best_t = t_ground
   best_sem = jnp.where(jnp.isfinite(t_ground), ground_sem, Sem.SKY)
 
