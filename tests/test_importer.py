@@ -36,7 +36,8 @@ def test_route_xml_parsing():
 @needs_assets
 def test_town_import_and_scenarios():
   t = importer.load_town("Town02")
-  assert t.raster.shape[0] == 7
+  from carla_garage_tpu.maps.town_map import Layer
+  assert t.raster.shape[0] == Layer.NUM
   assert t.raster[0].sum() > 0              # road layer populated
   s = importer.load_scenarios("Town02")
   assert "Scenario1" in s and len(s["Scenario1"]) > 0
