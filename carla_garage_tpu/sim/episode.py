@@ -93,12 +93,14 @@ def rollout_chunked(cfg: GlobalConfig, maps: MapStack, lanes: LaneGraph,
   bounds compile time and skips tail work for finished batches.
   """
   @jax.jit
-  def run_chunk(scene_, state_):
-    return rollout(cfg, maps, lanes, scene_, state_, chunk, policy)
+  def run_chunk(maps_, lanes_, scene_, state_):
+    # maps/lanes as ARGUMENTS: town rasters can be GBs — closing over them
+    # would embed them as compile-time constants in the executable
+    return rollout(cfg, maps_, lanes_, scene_, state_, chunk, policy)
 
   ticks = 0
   while ticks < max_ticks:
-    state = run_chunk(scene, state)
+    state = run_chunk(maps, lanes, scene, state)
     ticks += chunk
     if bool(jnp.all(state.done)):
       break
