@@ -24,7 +24,7 @@ from carla_garage_tpu.config import GlobalConfig
 from carla_garage_tpu.models.transfuser import LidarCenterNet, TransfuserConfig
 from carla_garage_tpu.sensors.camera import render_camera
 from carla_garage_tpu.sensors.lidar import render_lidar
-from carla_garage_tpu.sensors.voxelize import voxelize
+from carla_garage_tpu.sensors.voxelize import voxelize, voxelize_matmul
 from carla_garage_tpu.sim import geometry as geo
 from carla_garage_tpu.sim.expert import (Control, _dense_planner_params,
                                          _sparse_planner_params,
@@ -146,7 +146,7 @@ def make_transfuser_policy(model: LidarCenterNet, params,
     prev_pts = jnp.concatenate([prev_in_cur, ag.prev_lidar[..., 2:]], -1)
     merged_pts = jnp.concatenate([pts_now, prev_pts], 1)
     merged_val = jnp.concatenate([val_now, ag.prev_lidar_valid], 1)
-    lidar_bev = jax.vmap(lambda p, v: voxelize(p, v, cfg))(
+    lidar_bev = jax.vmap(lambda p, v: voxelize_matmul(p, v, cfg))(
         merged_pts, merged_val)                       # [B,2,H,W]
     lidar_bev = jnp.transpose(lidar_bev, (0, 2, 3, 1))
 

@@ -36,3 +36,31 @@ def voxelize(points: jnp.ndarray, valid: jnp.ndarray,
     return (counts / sc.hist_max_per_pixel).reshape(H, W)
 
   return jnp.stack([hist(below), hist(~below)])
+
+
+def voxelize_matmul(points: jnp.ndarray, valid: jnp.ndarray,
+                    cfg: GlobalConfig) -> jnp.ndarray:
+  """Scatter-free voxelization: the 2D histogram as an MXU matmul.
+
+  counts[H,W] = one_hot(cy)^T @ (one_hot(cx) * w) — scatter-add is slow on
+  TPU, an outer-product matmul is not. Exactly equals `voxelize` (integer
+  counts, clip at hist_max, normalize).
+  """
+  import jax
+  sc = cfg.sensor
+  H, W = sc.lidar_resolution_height, sc.lidar_resolution_width
+  x, y, z = points[:, 0], points[:, 1], points[:, 2]
+  cx = ((x - sc.min_x) / (sc.max_x - sc.min_x) * W).astype(jnp.int32)
+  cy = ((y - sc.min_y) / (sc.max_y - sc.min_y) * H).astype(jnp.int32)
+  inb = valid & (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+  below = z <= sc.lidar_split_height
+  oy = jax.nn.one_hot(jnp.where(inb, cy, -1), H, dtype=jnp.float32)  # [P,H]
+  ox = jax.nn.one_hot(jnp.where(inb, cx, -1), W, dtype=jnp.float32)  # [P,W]
+
+  def hist(mask):
+    counts = jnp.einsum("ph,pw->hw", oy * mask[:, None].astype(jnp.float32),
+                        ox, precision=jax.lax.Precision.HIGHEST)
+    counts = jnp.minimum(counts, sc.hist_max_per_pixel)
+    return counts / sc.hist_max_per_pixel
+
+  return jnp.stack([hist(below), hist(~below)])

@@ -26,7 +26,7 @@ from carla_garage_tpu.ops.losses import cross_entropy, l1_masked
 from carla_garage_tpu.sensors.bev import render_bev_semantics
 from carla_garage_tpu.sensors.camera import render_camera
 from carla_garage_tpu.sensors.lidar import render_lidar
-from carla_garage_tpu.sensors.voxelize import voxelize
+from carla_garage_tpu.sensors.voxelize import voxelize, voxelize_matmul
 from carla_garage_tpu.sim import geometry as geo
 from carla_garage_tpu.sim.datagen import (Frames, checkpoint_labels,
                                           target_speed_labels,
@@ -71,7 +71,7 @@ def render_frame_batch(cfg: GlobalConfig, maps, scene: Scene,
 
   cam = render_camera(cfg, maps, scene, snap, camera_grid)
   pts, valid = render_lidar(cfg, maps, scene, snap, lidar_grid, rng)
-  lidar_bev = jax.vmap(lambda p, v: voxelize(p, v, cfg))(pts, valid)
+  lidar_bev = jax.vmap(lambda p, v: voxelize_matmul(p, v, cfg))(pts, valid)
   lidar_bev = jnp.transpose(lidar_bev, (0, 2, 3, 1))
   bev_sem = render_bev_semantics(cfg, maps, scene, snap)
   return dict(rgb=cam["rgb"], semantic=cam["semantic"],
