@@ -169,12 +169,20 @@ def waypoint_labels(frames: Frames):
   return wp, valid
 
 
-def target_speed_labels(frames: Frames, cfg: GlobalConfig):
+def target_speed_labels(frames: Frames, cfg: GlobalConfig,
+                        brake_lookahead: int = 0):
   """Class index 0..3 (0 = brake; bins at walker/slow/fast + 0.1,
-  config.py:144-148)."""
+  config.py:144-148).
+
+  brake_lookahead > 0 labels brake if the expert brakes within the next k
+  frames — anticipatory supervision matching the expert's own forecast
+  horizon (forcast_time 0.5 s, config.py:544), which sharpens closed-loop
+  hazard braking."""
   e = cfg.expert
   ts = frames.target_speed
   braking = frames.brake > 0.5
+  for k in range(1, brake_lookahead + 1):
+    braking = braking | (jnp.roll(frames.brake, -k, axis=0) > 0.5)
   cls = jnp.where(ts <= e.target_speed_walker + 0.1, 1,
                   jnp.where(ts <= e.target_speed_slow + 0.1, 2, 3))
   return jnp.where(braking | (ts <= 0.01), 0, cls).astype(jnp.int32)

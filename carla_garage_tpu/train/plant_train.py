@@ -106,7 +106,7 @@ def build_plant_dataset(cfg: GlobalConfig, pcfg: PlanTConfig,
   token_valid = jnp.concatenate([v_ok, w_ok, in_route], 2)
 
   wp, wp_valid = waypoint_labels(frames)
-  speed_cls = target_speed_labels(frames, cfg)
+  speed_cls = target_speed_labels(frames, cfg, brake_lookahead=2)
   ckpt = checkpoint_labels(frames, scene, pcfg.checkpoint_len)
   sample_valid = np.asarray(wp_valid).reshape(-1)
 
