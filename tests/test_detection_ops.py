@@ -1,0 +1,78 @@
+"""Detection ops + inference controllers tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from carla_garage_tpu.agents.controllers import control_pid, control_pid_direct
+from carla_garage_tpu.config import DEFAULT_CONFIG as CFG
+from carla_garage_tpu.ops import detection as det
+from carla_garage_tpu.structs import PIDState
+
+
+def test_topk_decode_recovers_box():
+  """A single hot pixel decodes back to the correct metric location."""
+  h = w = 64
+  B = 1
+  preds = {
+      "heatmap": jnp.full((B, h, w, 4), -10.0).at[0, 40, 20, 1].set(8.0),
+      "wh": jnp.zeros((B, h, w, 2)).at[0, 40, 20].set(jnp.array([4.0, 9.8])),
+      "offset": jnp.zeros((B, h, w, 2)).at[0, 40, 20].set(
+          jnp.array([0.25, 0.5])),
+      "yaw_class": jnp.zeros((B, h, w, 12)).at[0, 40, 20, 3].set(10.0),
+      "yaw_res": jnp.zeros((B, h, w, 1)),
+      "velocity": jnp.zeros((B, h, w, 1)).at[0, 40, 20, 0].set(5.0),
+      "brake": jnp.zeros((B, h, w, 2)).at[0, 40, 20, 1].set(5.0),
+  }
+  ppm = h / 64.0   # grid cells per meter for a +-32 m grid
+  out = det.topk_decode(preds, k=10, ppm=ppm)
+  assert int(out["cls"][0, 0]) == 1
+  np.testing.assert_allclose(float(out["x"][0, 0]),
+                             (20 + 0.25) / ppm - 32.0, atol=1e-4)
+  np.testing.assert_allclose(float(out["y"][0, 0]),
+                             (40 + 0.5) / ppm - 32.0, atol=1e-4)
+  np.testing.assert_allclose(float(out["yaw"][0, 0]),
+                             np.pi / 2, atol=1e-4)   # bin 3 of 12
+  assert float(out["velocity"][0, 0]) == 5.0
+  assert int(out["brake"][0, 0]) == 1
+
+
+def test_nms_suppresses_overlaps():
+  B, K = 1, 4
+  boxes = {
+      "x": jnp.array([[0.0, 0.3, 10.0, 20.0]]),
+      "y": jnp.array([[0.0, 0.1, 0.0, 0.0]]),
+      "l": jnp.full((B, K), 4.0),
+      "w": jnp.full((B, K), 2.0),
+      "yaw": jnp.zeros((B, K)),
+      "score": jnp.array([[0.9, 0.8, 0.7, 0.1]]),
+  }
+  keep = det.nms_rotated(boxes, iou_threshold=0.2, score_threshold=0.3)
+  k = np.asarray(keep[0])
+  assert k[0] and not k[1]       # overlap suppressed
+  assert k[2]                    # far box kept
+  assert not k[3]                # low score dropped
+
+
+def test_control_pid_drives_toward_waypoints():
+  B = 2
+  pt = PIDState.create((B,), CFG.expert.turn_n)
+  ps = PIDState.create((B,), CFG.expert.speed_n)
+  # waypoints straight ahead, spaced for ~6 m/s desired speed
+  wps = jnp.stack([jnp.stack([jnp.arange(1, 9, dtype=jnp.float32) * 1.5,
+                              jnp.zeros(8)], -1)] * B)
+  steer, throttle, brake, _, _ = control_pid(pt, ps, wps,
+                                             jnp.zeros(B), CFG)
+  assert float(jnp.max(jnp.abs(steer))) < 0.05    # straight
+  assert float(jnp.min(throttle)) > 0.0           # accelerates
+  assert float(jnp.max(brake)) == 0.0
+
+
+def test_control_pid_direct_brakes_on_zero_speed_class():
+  B = 2
+  pt = PIDState.create((B,), CFG.expert.turn_n)
+  ps = PIDState.create((B,), CFG.expert.speed_n)
+  steer, throttle, brake, _, _ = control_pid_direct(
+      pt, ps, jnp.zeros(B), jnp.zeros(B), jnp.full((B,), 5.0), CFG)
+  assert float(jnp.min(brake)) == 1.0
+  assert float(jnp.max(throttle)) == 0.0
