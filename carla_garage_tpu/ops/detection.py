@@ -47,11 +47,19 @@ def splat_gaussian_heatmap(h: int, w: int, centers: jnp.ndarray,
                            cls: jnp.ndarray, num_classes: int) -> jnp.ndarray:
   """Max-composite gaussian targets [h,w,num_classes].
 
-  centers [K,2] (x=col, y=row float), radii [K], valid [K], cls [K]."""
+  centers [K,2] (x=col, y=row float), radii [K], valid [K], cls [K].
+
+  The gaussian is centered at floor(center) — the integer peak pixel — so
+  the peak value is exactly 1.0, matching the reference (data.py
+  get_targets splats at ctx_int/cty_int with the fractional part carried
+  by the offset head) and the `target == 1` positive keying of
+  gaussian_focal_loss. Splatting at the float center leaves no pixel at
+  1.0 and trains the heatmap toward all-zero (round-1 advisor finding)."""
   ys = jnp.arange(h, dtype=jnp.float32)[:, None]
   xs = jnp.arange(w, dtype=jnp.float32)[None, :]
 
   def one(center, radius, ok, c):
+    center = jnp.floor(center)
     sigma = jnp.maximum((2 * radius + 1) / 6.0, 1e-3)
     g = jnp.exp(-((xs - center[0]) ** 2 + (ys - center[1]) ** 2)
                 / (2 * sigma ** 2))
@@ -66,7 +74,7 @@ def gaussian_focal_loss(pred_sigmoid, target, alpha=2.0, gamma=4.0):
   """CornerNet-style focal loss on gaussian heatmaps
   (transfuser_utils.py:341, mmdet gaussian_focal_loss)."""
   eps = 1e-12
-  pos_w = (target == 1.0).astype(jnp.float32)
+  pos_w = (target >= 1.0 - 1e-4).astype(jnp.float32)
   neg_w = jnp.power(1 - target, gamma)
   pos = -jnp.log(pred_sigmoid + eps) * jnp.power(
       1 - pred_sigmoid, alpha) * pos_w
@@ -84,7 +92,7 @@ def local_maximum(heat: jnp.ndarray, kernel: int = 3) -> jnp.ndarray:
   return jnp.where(pooled == heat, heat, 0.0)
 
 
-def topk_decode(preds: dict, k: int = 100, ppm: float = 4.0 * 0.5,
+def topk_decode(preds: dict, *, ppm: float, k: int = 100,
                 min_x: float = -32.0, min_y: float = -32.0,
                 num_dir_bins: int = 12):
   """Top-k boxes from CenterNet outputs (center_net.py:172-237 +
@@ -93,6 +101,12 @@ def topk_decode(preds: dict, k: int = 100, ppm: float = 4.0 * 0.5,
   preds: dict of [B,h,w,*] feature maps (raw logits). Returns dict of
   [B,k] arrays: x, y (meters, ego frame), w, l, yaw, velocity, brake,
   score, cls.
+
+  ppm (required, keyword-only): grid cells per meter of the DETECTION
+  feature grid — e.g. a 256-px / 64-m BEV at model stride 8 is a 32×32
+  grid = 0.5 cells/m. Derive it from the model config (see
+  `grid_ppm` on the agent side); a wrong value scales every decoded
+  position and size.
   """
   heat = local_maximum(jax.nn.sigmoid(preds["heatmap"]))
   B, h, w, C = heat.shape
@@ -156,6 +170,10 @@ def nms_rotated(boxes: dict, iou_threshold: float = 0.2,
   K = score.shape[-1]
   iou = rotated_iou_approx(c[:, :, None], yaw[:, :, None], e[:, :, None],
                            c[:, None], yaw[:, None], e[:, None])   # [B,K,K]
+  # The sampled IoU is asymmetric (box i's area sampled against box j);
+  # symmetrize so a low-scoring survivor can never suppress a
+  # higher-scoring kept box that its own row under-measured.
+  iou = jnp.maximum(iou, jnp.swapaxes(iou, -1, -2))
   order = jnp.argsort(-score, axis=-1)
 
   def body(i, keep):

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from carla_garage_tpu.config import GlobalConfig
 from carla_garage_tpu.maps.town_map import Layer, MapStack
+from carla_garage_tpu.ops.pallas.bev_fill import fill_boxes_bev
 from carla_garage_tpu.sim import geometry as geo
 from carla_garage_tpu.structs import LightState, Scene, SimState
 
@@ -54,9 +55,32 @@ def bev_grid_world(cfg: GlobalConfig, ego_pos: jnp.ndarray,
   return geo.ego_to_world(local, ego_pos, ego_yaw)
 
 
+def _boxes_to_grid(cfg: GlobalConfig, state: SimState, pos, yaw, extent,
+                   valid, cls):
+  """World OBBs -> (cx, cy, yaw, ex, ey, cls, valid) in BEV grid-pixel
+  units for the Pallas fill kernel (grid frame = ego frame scaled by ppm:
+  x/forward along columns, y/right along rows)."""
+  sc = cfg.sensor
+  rel = geo.world_to_ego(pos, state.ego.pos[:, None], state.ego.yaw[:, None])
+  ryaw = yaw - state.ego.yaw[:, None]
+  cx = (rel[..., 0] - sc.min_x) * sc.pixels_per_meter - 0.5
+  cy = (rel[..., 1] - sc.min_y) * sc.pixels_per_meter - 0.5
+  ex = extent[..., 0] * sc.pixels_per_meter
+  ey = extent[..., 1] * sc.pixels_per_meter
+  return cx, cy, ryaw, ex, ey, cls, valid
+
+
 def render_bev_semantics(cfg: GlobalConfig, maps: MapStack, scene: Scene,
                          state: SimState) -> jnp.ndarray:
-  """[B,H,W] uint8 class map for the whole batch."""
+  """[B,H,W] uint8 class map for the whole batch.
+
+  Static layers are a gather (the affine-warp half of chauffeurnet's
+  renderer); actor/trigger boxes go through the Pallas fill kernel
+  (ops/pallas/bev_fill.py — the fillConvexPoly half). Priority follows the
+  chauffeurnet composite :252-261: later box groups overwrite earlier ones.
+  TPU timing (B=32, 256², 104 boxes): kernel ≈ dense point-in-OBB within
+  noise at this box count — the win is VMEM footprint (no [B,H,W,V]
+  broadcast), which is what frees room for bigger batches."""
   sc = cfg.sensor
   B = state.ego.yaw.shape[0]
   H, W = sc.lidar_resolution_height, sc.lidar_resolution_width
@@ -80,38 +104,29 @@ def render_bev_semantics(cfg: GlobalConfig, maps: MapStack, scene: Scene,
   out = paint(out, maps.sample(town, Layer.LANE_MARKING_BROKEN, grid),
               BevClass.LANE_MARKING_BROKEN)
 
-  # stop-sign trigger boxes
-  stops = scene.stops
-  in_stop = geo.point_in_obb(grid[:, :, :, None], stops.pos[:, None, None],
-                             stops.yaw[:, None, None],
-                             stops.extent[:, None, None])
-  out = paint(out, jnp.any(in_stop & stops.valid[:, None, None], -1),
-              BevClass.STOP_SIGN)
-
-  # traffic-light stop lines colored by state (traffic_light.py:12-40)
-  lights = scene.lights
+  # box layers, concatenated in priority order (later slots win in-kernel):
+  # stop signs < lights (colored by state) < vehicles < walkers
+  stops, lights = scene.stops, scene.lights
   lstate = lights.state_at(state.time_s)                       # [B,L]
-  in_light = geo.point_in_obb(grid[:, :, :, None], lights.pos[:, None, None],
-                              lights.yaw[:, None, None],
-                              lights.extent[:, None, None])
-  in_light &= lights.valid[:, None, None]
-  for ls, cls in ((LightState.GREEN, BevClass.LIGHT_GREEN),
-                  (LightState.YELLOW, BevClass.LIGHT_YELLOW),
-                  (LightState.RED, BevClass.LIGHT_RED)):
-    m = jnp.any(in_light & (lstate == ls)[:, None, None], -1)
-    out = paint(out, m, cls)
+  light_cls = jnp.where(
+      lstate == LightState.GREEN, BevClass.LIGHT_GREEN,
+      jnp.where(lstate == LightState.YELLOW, BevClass.LIGHT_YELLOW,
+                BevClass.LIGHT_RED))
+  veh, wlk = state.vehicles, state.walkers
 
-  # actors
-  veh = state.vehicles
-  in_veh = geo.point_in_obb(grid[:, :, :, None], veh.pos[:, None, None],
-                            veh.yaw[:, None, None],
-                            veh.extent[:, None, None])
-  out = paint(out, jnp.any(in_veh & veh.valid[:, None, None], -1),
-              BevClass.VEHICLE)
-  wlk = state.walkers
-  in_wlk = geo.point_in_obb(grid[:, :, :, None], wlk.pos[:, None, None],
-                            wlk.yaw[:, None, None],
-                            wlk.extent[:, None, None])
-  out = paint(out, jnp.any(in_wlk & wlk.valid[:, None, None], -1),
-              BevClass.WALKER)
-  return out
+  def const_cls(v, like):
+    return jnp.full(like.shape[:2], v, jnp.int32)
+
+  groups = [
+      _boxes_to_grid(cfg, state, stops.pos, stops.yaw, stops.extent,
+                     stops.valid, const_cls(BevClass.STOP_SIGN, stops.pos)),
+      _boxes_to_grid(cfg, state, lights.pos, lights.yaw, lights.extent,
+                     lights.valid, light_cls.astype(jnp.int32)),
+      _boxes_to_grid(cfg, state, veh.pos, veh.yaw, veh.extent, veh.valid,
+                     const_cls(BevClass.VEHICLE, veh.pos)),
+      _boxes_to_grid(cfg, state, wlk.pos, wlk.yaw, wlk.extent, wlk.valid,
+                     const_cls(BevClass.WALKER, wlk.pos)),
+  ]
+  args = [jnp.concatenate([g[i] for g in groups], axis=1) for i in range(7)]
+  boxes = fill_boxes_bev(*args, h=H, w=W)
+  return jnp.where(boxes > 0, boxes, out)

@@ -33,9 +33,9 @@ def criteria_reset(B: int, V: int, W: int, L: int, S: int) -> CriteriaState:
       route_completion=z_f, max_route_idx=z_i,
       outside_lane_m=z_f, driven_m=z_f, blocked_ticks=z_i,
       deviated=z_b, blocked=z_b, timed_out=z_b,
-      veh_overlap=jnp.zeros((B, V), bool),
-      wlk_overlap=jnp.zeros((B, W), bool),
-      static_overlap=z_b,
+      veh_overlap=jnp.zeros((B, V), jnp.int32),
+      wlk_overlap=jnp.zeros((B, W), jnp.int32),
+      static_overlap=z_i,
       red_light_cooldown=jnp.zeros((B, L), bool),
       stop_pending=jnp.zeros((B, S), bool),
       stop_done=jnp.zeros((B, S), bool))
@@ -114,9 +114,19 @@ def criteria_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
   probe = jnp.concatenate([corners, ego.pos[:, None]], 1)
   ov_s = jnp.any(maps.sample(scene.town_id[:, None], Layer.OBSTACLE,
                              probe), -1)
-  new_v = jnp.sum(ov_v & ~cr.veh_overlap, -1).astype(jnp.int32)
-  new_w = jnp.sum(ov_w & ~cr.wlk_overlap, -1).astype(jnp.int32)
-  new_s = (ov_s & ~cr.static_overlap).astype(jnp.int32)
+  # Per-actor temporal dedup (collision_dedup_seconds, atomic_criteria_local
+  # :300-437): count on contact onset only if the actor's cooldown expired;
+  # refresh the cooldown while contact persists, decay it after separation.
+  dedup_ticks = jnp.int32(round(c.collision_dedup_seconds * s.fps))
+  hit_v = ov_v & (cr.veh_overlap == 0)
+  hit_w = ov_w & (cr.wlk_overlap == 0)
+  hit_s = ov_s & (cr.static_overlap == 0)
+  cd_v = jnp.where(ov_v, dedup_ticks, jnp.maximum(cr.veh_overlap - 1, 0))
+  cd_w = jnp.where(ov_w, dedup_ticks, jnp.maximum(cr.wlk_overlap - 1, 0))
+  cd_s = jnp.where(ov_s, dedup_ticks, jnp.maximum(cr.static_overlap - 1, 0))
+  new_v = jnp.sum(hit_v, -1).astype(jnp.int32)
+  new_w = jnp.sum(hit_w, -1).astype(jnp.int32)
+  new_s = hit_s.astype(jnp.int32)
   penalty = cr.penalty
   penalty *= jnp.power(c.penalty_collision_pedestrian,
                        new_w.astype(jnp.float32))
@@ -169,7 +179,7 @@ def criteria_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
       outside_lane_m=outside_lane_m, driven_m=driven_m,
       blocked_ticks=blocked_ticks.astype(jnp.int32),
       deviated=deviated, blocked=blocked, timed_out=timed_out,
-      veh_overlap=ov_v, wlk_overlap=ov_w, static_overlap=ov_s,
+      veh_overlap=cd_v, wlk_overlap=cd_w, static_overlap=cd_s,
       red_light_cooldown=red_latch,
       stop_pending=stop_pending, stop_done=stop_done)
 

@@ -85,23 +85,41 @@ def rollout(cfg: GlobalConfig, maps: MapStack, lanes: LaneGraph,
 
 def rollout_chunked(cfg: GlobalConfig, maps: MapStack, lanes: LaneGraph,
                     scene: Scene, state: SimState, max_ticks: int,
-                    chunk: int = 256, policy: PolicyFn = expert_step
-                    ) -> SimState:
+                    chunk: int = 256, policy: PolicyFn = expert_step,
+                    watchdog_s: float | None = 1800.0) -> SimState:
   """Host-side chunked rollout with early exit once every episode is done.
 
   Long routes need ~24k ticks (SURVEY.md §7 risks); a chunked while-loop
   bounds compile time and skips tail work for finished batches.
+
+  watchdog_s arms a hang watchdog around every host-blocking device call
+  (the ScenarioManager sim/agent watchdog analog,
+  scenario_manager_local.py:64-70): a wedged TPU runtime or a pathological
+  compile raises KeyboardInterrupt on the main thread instead of hanging a
+  benchmark job forever. The default covers a cold first-chunk compile.
   """
+  from carla_garage_tpu.utils.watchdog import Watchdog
+
   @jax.jit
   def run_chunk(maps_, lanes_, scene_, state_):
     # maps/lanes as ARGUMENTS: town rasters can be GBs — closing over them
     # would embed them as compile-time constants in the executable
     return rollout(cfg, maps_, lanes_, scene_, state_, chunk, policy)
 
-  ticks = 0
-  while ticks < max_ticks:
-    state = run_chunk(maps, lanes, scene, state)
-    ticks += chunk
-    if bool(jnp.all(state.done)):
-      break
+  wd = Watchdog(watchdog_s) if watchdog_s else None
+  if wd:
+    wd.start()
+  try:
+    ticks = 0
+    while ticks < max_ticks:
+      state = run_chunk(maps, lanes, scene, state)
+      jax.block_until_ready(state.done)
+      if wd:
+        wd.update()                      # re-arm once per completed chunk
+      ticks += chunk
+      if bool(jnp.all(state.done)):
+        break
+  finally:
+    if wd:
+      wd.stop()
   return state

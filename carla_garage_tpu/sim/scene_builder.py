@@ -207,6 +207,11 @@ def build_batch(cfg: GlobalConfig, town,
     return towns[int(town_ids[b])]
 
   lp = np.stack([pad(town_of(b).light_pos, L) for b in range(B)])
+  # Per-episode light-phase jitter: repetitions of the same route see
+  # different light timing (the per-route re-seeding of
+  # leaderboard_evaluator_local.py:271-274 — without it every rep meets
+  # identical phases and rep variance collapses).
+  phase_jitter = rng.uniform(0.0, 30.0, size=(B, 1)).astype(np.float32)
   lights = TrafficLights(
       pos=jnp.asarray(lp),
       yaw=jnp.asarray(np.stack([pad(town_of(b).light_yaw, L)
@@ -214,7 +219,7 @@ def build_batch(cfg: GlobalConfig, town,
       extent=jnp.asarray(np.stack([pad(town_of(b).light_extent, L)
                                    for b in range(B)])),
       offset_s=jnp.asarray(np.stack([pad(town_of(b).light_offset_s, L)
-                                     for b in range(B)])),
+                                     for b in range(B)]) + phase_jitter),
       green_s=jnp.asarray(np.stack([pad(town_of(b).light_green_s, L)
                                     for b in range(B)])),
       yellow_s=jnp.asarray(np.stack([pad(town_of(b).light_yellow_s, L)

@@ -209,12 +209,15 @@ class CriteriaState:
   deviated: jnp.ndarray              # [B] bool (route deviation > 30 m)
   blocked: jnp.ndarray               # [B] bool
   timed_out: jnp.ndarray             # [B] bool
-  # per-actor overlap latches: a collision is counted on overlap ONSET only
-  # (the reference dedups repeat events per actor, atomic_criteria_local.py
-  # :300-437)
-  veh_overlap: jnp.ndarray           # [B,V] bool
-  wlk_overlap: jnp.ndarray           # [B,W] bool
-  static_overlap: jnp.ndarray        # [B] bool
+  # per-actor collision cooldowns (ticks): a collision is counted on overlap
+  # onset when the actor's cooldown is 0; the cooldown is refreshed while
+  # contact persists and decays for collision_dedup_seconds after contact
+  # ends, so brief re-contact with the same actor is NOT double-counted but
+  # a genuine new collision after the window is (atomic_criteria_local.py
+  # :300-437 per-actor temporal dedup)
+  veh_overlap: jnp.ndarray           # [B,V] int32 cooldown ticks
+  wlk_overlap: jnp.ndarray           # [B,W] int32 cooldown ticks
+  static_overlap: jnp.ndarray        # [B] int32 cooldown ticks
   red_light_cooldown: jnp.ndarray    # [B] per-light latched mask, [B,L] bool
   stop_pending: jnp.ndarray          # [B,S] bool — inside trigger, not yet stopped
   stop_done: jnp.ndarray             # [B,S] bool — stop satisfied / scored

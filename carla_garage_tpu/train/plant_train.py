@@ -124,28 +124,50 @@ SPEED_WEIGHTS = (0.866605263873406, 7.4527377240841775, 1.2281629310898465,
                  0.5269622904065803)
 
 
-def plant_loss(model: PlanT, params, batch, rng=None):
+def plant_loss(model: PlanT, params, batch, rng=None, log_vars=None):
+  """log_vars (optional dict of per-task log-variances) switches the fixed
+  unit weights to Kendall learned multi-task weighting
+  (train.py:384-456 learn_multi_task_weights)."""
   out = model.apply(params, batch["tokens"], batch["types"],
                     batch["token_valid"], batch["target_point"])
-  loss_wp = jnp.mean(jnp.abs(out["pred_wp"] - batch["wp_label"]))
-  loss_speed = cross_entropy(out["pred_target_speed"], batch["speed_label"],
-                             weights=SPEED_WEIGHTS, label_smoothing=0.1)
-  loss_ckpt = jnp.mean(jnp.abs(out["pred_checkpoint"] -
-                               batch["ckpt_label"]))
-  loss = loss_wp + loss_speed + loss_ckpt
-  return loss, {"loss": loss, "loss_wp": loss_wp, "loss_speed": loss_speed,
-                "loss_ckpt": loss_ckpt}
+  losses = {
+      "wp": jnp.mean(jnp.abs(out["pred_wp"] - batch["wp_label"])),
+      "speed": cross_entropy(out["pred_target_speed"], batch["speed_label"],
+                             weights=SPEED_WEIGHTS, label_smoothing=0.1),
+      "ckpt": jnp.mean(jnp.abs(out["pred_checkpoint"] -
+                               batch["ckpt_label"])),
+  }
+  if log_vars is not None:
+    from carla_garage_tpu.train.schedules import uncertainty_weighted_total
+    loss = uncertainty_weighted_total(losses, log_vars)
+  else:
+    loss = sum(losses.values())
+  return loss, {"loss": loss, "loss_wp": losses["wp"],
+                "loss_speed": losses["speed"], "loss_ckpt": losses["ckpt"]}
 
 
-def make_train_step(model: PlanT, tx):
+def make_train_step(model: PlanT, tx, learn_loss_weights: bool = False):
+  """Jitted SGD step. With learn_loss_weights the trainable pytree is
+  (params, log_vars) and the loss is Kendall-weighted."""
+  if not learn_loss_weights:
+    @jax.jit
+    def train_step(params, opt_state, batch):
+      (loss, aux), grads = jax.value_and_grad(
+          lambda p: plant_loss(model, p, batch), has_aux=True)(params)
+      updates, opt_state = tx.update(grads, opt_state, params)
+      params = optax.apply_updates(params, updates)
+      return params, opt_state, aux
+    return train_step
+
   @jax.jit
-  def train_step(params, opt_state, batch):
+  def train_step_kendall(trainable, opt_state, batch):
     (loss, aux), grads = jax.value_and_grad(
-        lambda p: plant_loss(model, p, batch), has_aux=True)(params)
-    updates, opt_state = tx.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
-    return params, opt_state, aux
-  return train_step
+        lambda t: plant_loss(model, t[0], batch, log_vars=t[1]),
+        has_aux=True)(trainable)
+    updates, opt_state = tx.update(grads, opt_state, trainable)
+    trainable = optax.apply_updates(trainable, updates)
+    return trainable, opt_state, aux
+  return train_step_kendall
 
 
 def iterate_minibatches(ds: PlantDataset, batch_size: int, rng: np.random.Generator,
@@ -191,28 +213,83 @@ def estimate_speed_weights(ds: PlantDataset):
   return tuple(w.tolist())
 
 
+def make_schedule(schedule: str | None, lr: float, steps: int):
+  """LR schedule wiring (train.py:588-598): 'multistep' decays 0.1× at the
+  reference's 30/40-of-47-epoch milestones mapped to step fractions
+  (0.64/0.85); 'cosine_restart' is SGDR t0=1, t_mult=2; None = constant."""
+  from carla_garage_tpu.train import schedules
+  if schedule == "multistep":
+    return schedules.multistep_schedule(
+        lr, steps_per_epoch=1,
+        milestones=(max(int(0.64 * steps), 1), max(int(0.85 * steps), 2)))
+  if schedule == "cosine_restart":
+    return schedules.cosine_restart_schedule(
+        lr, steps_per_epoch=max(steps // 127, 1))
+  return lr
+
+
+def _split_dataset(ds: PlantDataset, val_fraction: float):
+  n_val = int(len(ds) * val_fraction)
+  if n_val == 0:
+    return ds, None
+  sl_t, sl_v = slice(0, len(ds) - n_val), slice(len(ds) - n_val, len(ds))
+  f = dataclasses.fields(PlantDataset)
+  train = PlantDataset(**{x.name: getattr(ds, x.name)[sl_t] for x in f})
+  val = PlantDataset(**{x.name: getattr(ds, x.name)[sl_v] for x in f})
+  return train, val
+
+
 def train_plant(cfg: GlobalConfig, pcfg: PlanTConfig, ds: PlantDataset,
                 steps: int = 500, batch_size: int = 64, lr: float = 3e-4,
                 seed: int = 0, params=None, log_every: int = 100,
-                estimate_weights: bool = False):
-  """Minimal training loop (train.py:643-996 analog). Returns params."""
+                estimate_weights: bool = False,
+                schedule: str | None = "multistep",
+                learn_loss_weights: bool = False,
+                val_fraction: float = 0.1):
+  """Training loop (train.py:643-996 analog): LR schedule, optional Kendall
+  loss weighting, held-out validation losses (train.py:822-843)."""
   global SPEED_WEIGHTS
   if estimate_weights:
     SPEED_WEIGHTS = estimate_speed_weights(ds)
   model = PlanT(pcfg)
   rng = np.random.default_rng(seed)
+  train_ds, val_ds = _split_dataset(ds, val_fraction)
   if params is None:
-    ex = next(iterate_minibatches(ds, min(batch_size, len(ds)), rng))
+    ex = next(iterate_minibatches(train_ds, min(batch_size, len(train_ds)),
+                                  rng))
     params = model.init(jax.random.key(seed), ex["tokens"], ex["types"],
                         ex["token_valid"], ex["target_point"])
-  tx = optax.adamw(lr, weight_decay=0.01)
-  opt_state = tx.init(params)
-  step_fn = make_train_step(model, tx)
-  it = iterate_minibatches(ds, batch_size, rng, epochs=10_000)
+  tx = optax.adamw(make_schedule(schedule, lr, steps), weight_decay=0.01)
+  step_fn = make_train_step(model, tx, learn_loss_weights)
+  if learn_loss_weights:
+    from carla_garage_tpu.train.schedules import init_log_vars
+    trainable = (params, init_log_vars(("wp", "speed", "ckpt")))
+  else:
+    trainable = params
+  opt_state = tx.init(trainable)
+  it = iterate_minibatches(train_ds, batch_size, rng, epochs=10_000)
   history = []
   for i in range(steps):
     batch = next(it)
-    params, opt_state, aux = step_fn(params, opt_state, batch)
+    trainable, opt_state, aux = step_fn(trainable, opt_state, batch)
     if i % log_every == 0 or i == steps - 1:
       history.append({k: float(v) for k, v in aux.items()})
+  params = trainable[0] if learn_loss_weights else trainable
+  if val_ds is not None and len(val_ds) and history:
+    history[-1].update(validate_plant(model, params, val_ds, batch_size))
   return model, params, history
+
+
+def validate_plant(model: PlanT, params, val_ds: PlantDataset,
+                   batch_size: int = 64) -> dict:
+  """Validation losses over the held-out split (train.py:822-843)."""
+  loss_fn = jax.jit(lambda p, b: plant_loss(model, p, b)[1])
+  rng = np.random.default_rng(0)
+  sums, n = {}, 0
+  for batch in iterate_minibatches(val_ds, min(batch_size, len(val_ds)),
+                                   rng):
+    aux = loss_fn(params, batch)
+    for k, v in aux.items():
+      sums[k] = sums.get(k, 0.0) + float(v)
+    n += 1
+  return {f"val_{k}": v / max(n, 1) for k, v in sums.items()}

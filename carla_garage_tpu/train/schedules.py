@@ -35,11 +35,15 @@ def cosine_restart_schedule(base_lr: float, steps_per_epoch: int,
 
 def uncertainty_weighted_total(losses: dict, log_vars: dict):
   """Kendall multi-task weighting: sum exp(-s_i) L_i + s_i (the learned
-  alternative to fixed loss weights)."""
+  alternative to fixed loss weights, train.py:384-456). Loss keys without
+  a learned variance fall back to unit weight."""
   total = 0.0
   for k, v in losses.items():
-    s = log_vars[k]
-    total = total + jnp.exp(-s) * v + s
+    s = log_vars.get(k)
+    if s is None:
+      total = total + v
+    else:
+      total = total + jnp.exp(-s) * v + s
   return total
 
 

@@ -126,8 +126,27 @@ LOSS_WEIGHTS = dict(wp=1.0, checkpoint=1.0, target_speed=1.0, semantic=1.0,
                     velocity=1.0, brake=1.0)
 
 
+def mean_iou(pred_cls: jnp.ndarray, label: jnp.ndarray,
+             num_classes: int) -> jnp.ndarray:
+  """Mean intersection-over-union over classes present in the labels —
+  the reference's val metric (train.py:822-843 semantic/BEV mIoU)."""
+  ious = []
+  present = []
+  for c in range(num_classes):
+    p = pred_cls == c
+    l = label == c
+    inter = jnp.sum(p & l)
+    union = jnp.sum(p | l)
+    ious.append(inter / jnp.maximum(union, 1))
+    present.append(jnp.any(l))
+  ious = jnp.stack(ious)
+  present = jnp.stack(present)
+  return jnp.sum(jnp.where(present, ious, 0.0)) / \
+      jnp.maximum(jnp.sum(present), 1)
+
+
 def transfuser_loss(cfg: GlobalConfig, tcfg: TransfuserConfig,
-                    model: LidarCenterNet, params, batch):
+                    model: LidarCenterNet, params, batch, log_vars=None):
   out = model.apply(params, batch["rgb"], batch["lidar_bev"],
                     batch["target_point"], batch["command_onehot"],
                     batch["speed"])
@@ -183,7 +202,12 @@ def transfuser_loss(cfg: GlobalConfig, tcfg: TransfuserConfig,
         jax.nn.one_hot(br_lab, 2), 0.0))
     losses["brake"] = br / jnp.maximum(jnp.sum(mask), 1.0)
 
-  total = sum(LOSS_WEIGHTS[k] * v for k, v in losses.items())
+  if log_vars is not None:
+    # Kendall learned multi-task weighting (train.py:384-456)
+    from carla_garage_tpu.train.schedules import uncertainty_weighted_total
+    total = uncertainty_weighted_total(losses, log_vars)
+  else:
+    total = sum(LOSS_WEIGHTS[k] * v for k, v in losses.items())
   aux = {f"loss_{k}": v for k, v in losses.items()}
   aux["loss"] = total
   return total, aux
@@ -191,9 +215,15 @@ def transfuser_loss(cfg: GlobalConfig, tcfg: TransfuserConfig,
 
 def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,
                                model: LidarCenterNet, tx, maps, scene,
-                               frames: Frames, camera_grid, lidar_grid):
-  """Returns a jitted (params, opt_state, f_idx, rng) -> ... train step that
-  renders the frame's sensors + labels on the fly — no stored dataset."""
+                               frames: Frames, camera_grid, lidar_grid,
+                               learn_loss_weights: bool = False):
+  """Returns (train_step, eval_step, wp_valid).
+
+  train_step is a jitted (trainable, opt_state, f_idx, rng) -> ... step
+  that renders the frame's sensors + labels on the fly — no stored
+  dataset. With learn_loss_weights the trainable is (params, log_vars)
+  Kendall-weighted. eval_step(params, f_idx, rng) computes validation
+  losses plus semantic/BEV-semantic mIoU (train.py:822-843)."""
   wp, wp_valid = waypoint_labels(frames)
   speed_cls = target_speed_labels(frames, cfg)
   ckpt = checkpoint_labels(frames, scene, tcfg.checkpoint_len)
@@ -222,34 +252,64 @@ def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,
     batch["centernet"] = centernet_targets(cfg, tcfg, batch, grid_hw)
     return batch
 
-  def loss_fn(params, f_idx, rng):
+  def make_flat_batch(f_idx, rng):
     # f_idx [K] frame indices — sequential renders, concatenated batch
     rngs = jax.random.split(rng, f_idx.shape[0])
     batches = jax.lax.map(lambda a: make_batch(a[0], a[1]), (f_idx, rngs))
-    batch = jax.tree.map(
-        lambda x: x.reshape((-1,) + x.shape[2:]), batches)
-    return transfuser_loss(cfg, tcfg, model, params, batch)
+    return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), batches)
+
+  def loss_fn(trainable, f_idx, rng):
+    batch = make_flat_batch(f_idx, rng)
+    if learn_loss_weights:
+      params, log_vars = trainable
+      return transfuser_loss(cfg, tcfg, model, params, batch,
+                             log_vars=log_vars)
+    return transfuser_loss(cfg, tcfg, model, trainable, batch)
 
   @jax.jit
-  def train_step(params, opt_state, f_idx, rng):
+  def train_step(trainable, opt_state, f_idx, rng):
     (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        params, f_idx, rng)
-    updates, opt_state = tx.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
-    return params, opt_state, aux
+        trainable, f_idx, rng)
+    updates, opt_state = tx.update(grads, opt_state, trainable)
+    trainable = optax.apply_updates(trainable, updates)
+    return trainable, opt_state, aux
 
-  return train_step, wp_valid
+  @jax.jit
+  def eval_step(params, f_idx, rng):
+    batch = make_flat_batch(f_idx, rng)
+    _, aux = transfuser_loss(cfg, tcfg, model, params, batch)
+    out = model.apply(params, batch["rgb"], batch["lidar_bev"],
+                      batch["target_point"], batch["command_onehot"],
+                      batch["speed"])
+    if "pred_semantic" in out:
+      aux["miou_semantic"] = mean_iou(
+          jnp.argmax(out["pred_semantic"], -1), batch["semantic"],
+          cfg.sensor.num_semantic_classes)
+    if "pred_bev_semantic" in out:
+      aux["miou_bev_semantic"] = mean_iou(
+          jnp.argmax(out["pred_bev_semantic"], -1),
+          batch["bev_semantic_ds"], cfg.sensor.num_bev_semantic_classes)
+    return aux
+
+  return train_step, eval_step, wp_valid
 
 
 def train_transfuser(cfg: GlobalConfig, tcfg: TransfuserConfig, maps, scene,
                      frames: Frames, camera_grid, lidar_grid,
                      steps: int = 100, lr: float = 3e-4, seed: int = 0,
                      params=None, log_every: int = 50,
-                     freeze_backbone: bool = False):
-  """Minimal on-device training loop over collected frames.
+                     freeze_backbone: bool = False,
+                     schedule: str | None = "multistep",
+                     learn_loss_weights: bool = False,
+                     val_fraction: float = 0.1):
+  """On-device training loop over collected frames.
 
   freeze_backbone freezes the image branch for two-stage training
-  (config.py:253, README.md:142-147)."""
+  (config.py:253, README.md:142-147). schedule wires the train.py LR
+  schedules (:588-598); learn_loss_weights enables Kendall multi-task
+  weighting (:384-456); a held-out val frame split reports val losses and
+  semantic/BEV mIoU at the end (:822-843)."""
+  from carla_garage_tpu.train.plant_train import make_schedule
   model = LidarCenterNet(tcfg)
   rng = jax.random.key(seed)
   if params is None:
@@ -258,7 +318,7 @@ def train_transfuser(cfg: GlobalConfig, tcfg: TransfuserConfig, maps, scene,
     lid0 = jnp.zeros((B, tcfg.lidar_h, tcfg.lidar_w, tcfg.lidar_channels))
     params = model.init(rng, rgb0, lid0, jnp.zeros((B, 2)),
                         jnp.zeros((B, 6)), jnp.zeros((B,)))
-  tx = optax.adamw(lr, weight_decay=0.01)
+  tx = optax.adamw(make_schedule(schedule, lr, steps), weight_decay=0.01)
   if freeze_backbone:
     def label_fn(tree):
       return jax.tree_util.tree_map_with_path(
@@ -267,17 +327,36 @@ def train_transfuser(cfg: GlobalConfig, tcfg: TransfuserConfig, maps, scene,
           else "train", tree)
     tx = optax.multi_transform(
         {"train": tx, "frozen": optax.set_to_zero()}, label_fn)
-  opt_state = tx.init(params)
-  step_fn, wp_valid = make_transfuser_train_step(
-      cfg, tcfg, model, tx, maps, scene, frames, camera_grid, lidar_grid)
-  F = frames.ego_yaw.shape[0]
+  step_fn, eval_fn, wp_valid = make_transfuser_train_step(
+      cfg, tcfg, model, tx, maps, scene, frames, camera_grid, lidar_grid,
+      learn_loss_weights=learn_loss_weights)
+  if learn_loss_weights:
+    from carla_garage_tpu.train.schedules import init_log_vars
+    trainable = (params, init_log_vars(tuple(LOSS_WEIGHTS)))
+  else:
+    trainable = params
+  opt_state = tx.init(trainable)
   np_rng = np.random.default_rng(seed)
   usable = np.nonzero(np.asarray(wp_valid).any(-1))[0]
+  n_val = int(len(usable) * val_fraction)
+  val_idx = usable[len(usable) - n_val:] if n_val else None
+  usable = usable[:len(usable) - n_val] if n_val else usable
   history = []
   for i in range(steps):
     f_idx = jnp.asarray(np_rng.choice(usable, size=2), jnp.int32)
     rng, sub = jax.random.split(rng)
-    params, opt_state, aux = step_fn(params, opt_state, f_idx, sub)
+    trainable, opt_state, aux = step_fn(trainable, opt_state, f_idx, sub)
     if i % log_every == 0 or i == steps - 1:
       history.append({k: float(v) for k, v in aux.items()})
+  params = trainable[0] if learn_loss_weights else trainable
+  if val_idx is not None and len(val_idx) and history:
+    sums, n = {}, 0
+    for j in range(0, min(len(val_idx), 8), 2):
+      rng, sub = jax.random.split(rng)
+      aux = eval_fn(params, jnp.asarray(val_idx[j:j + 2], jnp.int32), sub)
+      for k, v in aux.items():
+        sums[k] = sums.get(k, 0.0) + float(v)
+      n += 1
+    history[-1].update(
+        {f"val_{k}": v / max(n, 1) for k, v in sums.items()})
   return model, params, history

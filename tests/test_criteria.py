@@ -69,6 +69,32 @@ def test_stop_sign_fsm():
   assert int(st.criteria.n_stop_sign[0]) == 0
 
 
+def test_collision_dedup_window():
+  """Same-actor re-contact within collision_dedup_seconds is not
+  re-counted; after the window expires it is (atomic_criteria_local.py
+  :300-437 per-actor temporal dedup)."""
+  maps, scene, state = _setup()
+  vp = np.asarray(state.vehicles.pos[0])
+  vi = int(np.nonzero(np.asarray(state.vehicles.valid[0]))[0][0])
+  hit = vp[vi]
+  far = hit + np.array([200.0, 200.0])
+  st = _step_at(maps, scene, state, hit, speed=5.0)
+  assert int(st.criteria.n_collision_vehicle[0]) == 1
+  # contact persists: no second count
+  st = _step_at(maps, scene, st, hit, speed=5.0)
+  assert int(st.criteria.n_collision_vehicle[0]) == 1
+  # brief separation + re-contact inside the dedup window: still 1
+  st = _step_at(maps, scene, st, far, speed=5.0)
+  st = _step_at(maps, scene, st, hit, speed=5.0)
+  assert int(st.criteria.n_collision_vehicle[0]) == 1
+  # cooldown expired (forced): a new contact is a new collision
+  st = _step_at(maps, scene, st, far, speed=5.0)
+  st = st.replace(criteria=st.criteria.replace(
+      veh_overlap=jnp.zeros_like(st.criteria.veh_overlap)))
+  st = _step_at(maps, scene, st, hit, speed=5.0)
+  assert int(st.criteria.n_collision_vehicle[0]) == 2
+
+
 def test_blocked_timer():
   maps, scene, state = _setup()
   pos = np.asarray(state.ego.pos[0])

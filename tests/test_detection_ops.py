@@ -37,6 +37,20 @@ def test_topk_decode_recovers_box():
   assert int(out["brake"][0, 0]) == 1
 
 
+def test_heatmap_peak_is_exactly_one_at_fractional_centers():
+  """splat_gaussian_heatmap must put an exact 1.0 at the integer peak pixel
+  even for float box centers, so gaussian_focal_loss has a positive term
+  (round-1 advisor: float-centered splats train the heatmap to zero)."""
+  centers = jnp.array([[20.37, 40.81]])
+  heat = det.splat_gaussian_heatmap(
+      64, 64, centers, jnp.array([3.0]), jnp.array([True]),
+      jnp.array([0], jnp.int32), num_classes=2)
+  assert float(heat[40, 20, 0]) == 1.0
+  loss = det.gaussian_focal_loss(jnp.full_like(heat, 0.1), heat)
+  pos_term = float(jnp.sum(jnp.where(heat >= 1.0 - 1e-4, loss, 0.0)))
+  assert pos_term > 0.5    # -log(0.1)*0.81 ≈ 1.86 at the peak
+
+
 def test_nms_suppresses_overlaps():
   B, K = 1, 4
   boxes = {

@@ -56,3 +56,26 @@ def test_datagen_and_training_and_closed_loop():
   out = run(scene, state2)
   assert out.ego.pos.shape == (2, 2)
   assert bool(jnp.all(out.tick == 50) | jnp.any(out.done))
+
+
+def test_kendall_weights_and_schedule():
+  """Kendall learned loss weighting + multistep LR schedule train and
+  reduce the loss (train.py:384-456, :588-598 wiring)."""
+  from carla_garage_tpu.train.plant_train import PlantDataset
+  pcfg = dataclasses.replace(micro_plant(), max_tokens=8)
+  rng = np.random.default_rng(0)
+  n = 64
+  ds = PlantDataset(
+      tokens=rng.normal(size=(n, 8, 7)).astype(np.float32),
+      types=rng.integers(0, 5, size=(n, 8)).astype(np.int32),
+      token_valid=np.ones((n, 8), bool),
+      target_point=rng.normal(size=(n, 2)).astype(np.float32),
+      wp_label=rng.normal(size=(n, 8, 2)).astype(np.float32),
+      speed_label=rng.integers(0, 4, size=(n,)).astype(np.int32),
+      ckpt_label=rng.normal(size=(n, pcfg.checkpoint_len, 2)).astype(
+          np.float32))
+  model, params, hist = train_plant(
+      CFG, pcfg, ds, steps=40, batch_size=16, lr=1e-3, log_every=39,
+      schedule="multistep", learn_loss_weights=True, val_fraction=0.25)
+  assert hist[-1]["loss"] < hist[0]["loss"]
+  assert "val_loss" in hist[-1]
