@@ -113,47 +113,11 @@ def run_synthetic_benchmark(cfg: GlobalConfig = None, n_routes: int = 8,
   return records, aggregate(records)
 
 
-def _scenario_setup(cfg, scen_ann, episodes, B: int, seed: int):
-  """Per-episode crossing walkers (Scenario3/4) + CONTROL_LOSS specs
-  (Scenario1) from the benchmark's scenario annotations."""
-  import jax.numpy as jnp
-  from carla_garage_tpu.sim.scenarios import (ScenarioType, make_empty_specs,
-                                              scenarios_reset)
-  rng = np.random.default_rng(seed)
-  W = cfg.sim.max_walkers
-  K = 8
-  walker_sites = []
-  specs = make_empty_specs(B, K)
-  kind = np.zeros((B, K), np.int32)
-  tpos = np.zeros((B, K, 2), np.float32)
-  mag = np.zeros((B, K), np.float32)
-  valid = np.zeros((B, K), bool)
-  for b, ep in enumerate(episodes):
-    ann = scen_ann[b] if isinstance(scen_ann, list) else scen_ann
-    near = importer.scenarios_near_route(ann, ep.dense)
-    sites = []
-    cross = []
-    for k in ("Scenario3", "Scenario4"):
-      if k in near and len(near[k][0]):
-        cross.append(near[k][0])
-    if cross:
-      pts = np.concatenate(cross)
-      sel = rng.permutation(len(pts))[:W]
-      for x, y, yaw in pts[sel]:
-        right = np.array([-np.sin(yaw), np.cos(yaw)], np.float32)
-        sites.append((np.array([x, y], np.float32) + right * 6.0, -right))
-    walker_sites.append(sites)
-    if "Scenario1" in near and len(near["Scenario1"][0]):
-      pts = near["Scenario1"][0]
-      sel = rng.permutation(len(pts))[:K]
-      for j, (x, y, yaw) in enumerate(pts[sel]):
-        kind[b, j] = ScenarioType.CONTROL_LOSS
-        tpos[b, j] = (x, y)
-        mag[b, j] = 0.1
-        valid[b, j] = True
-  specs = specs.replace(kind=jnp.asarray(kind), trigger_pos=jnp.asarray(tpos),
-                        magnitude=jnp.asarray(mag), valid=jnp.asarray(valid))
-  return walker_sites, specs, scenarios_reset(B, K)
+def _scenario_setup(cfg, scen_ann, episodes, town, seed: int):
+  """All 7 scenario types per episode: annotation-driven (1/3/4) +
+  geometry-synthesized (2/5/6/7-10) — sim/scenario_wiring.py."""
+  from carla_garage_tpu.sim.scenario_wiring import build_benchmark_scenarios
+  return build_benchmark_scenarios(cfg, town, episodes, scen_ann, seed)
 
 
 def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
@@ -206,14 +170,15 @@ def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
         eps.append(ep)
         ids.append(f"{r.route_id}_rep{rep}")
     walker_sites = None
+    scenario_npcs = None
     if use_scenarios:
       scen_ann = importer.load_scenarios(town_name, root)
-      walker_sites, specs, scen_state = _scenario_setup(
-          cfg, scen_ann, eps, len(eps), seed)
+      walker_sites, specs, scen_state, scenario_npcs = _scenario_setup(
+          cfg, scen_ann, eps, town_adapter, seed)
     maps, lanes, scene, state = build_batch(
         cfg, town_adapter, eps, seed=seed, n_vehicles=n_vehicles,
-        n_walkers=n_walkers, npc_lane_per_episode=True,
-        walker_sites=walker_sites)
+        n_walkers=n_walkers, walker_sites=walker_sites,
+        scenario_npcs=scenario_npcs)
     if use_scenarios:
       scene = scene.replace(scenarios=specs)
       state = state.replace(scenario=scen_state)
@@ -251,13 +216,15 @@ def _run_single_batch(cfg, by_town, root, reps, n_vehicles, n_walkers,
           f"in {time.time() - t0:.0f}s", flush=True)
 
   walker_sites = None
+  scenario_npcs = None
   if use_scenarios:
-    walker_sites, specs, scen_state = _scenario_setup(
-        cfg, anns, eps, len(eps), seed)
+    towns_of_eps = [towns[ti] for ti in town_idx]
+    walker_sites, specs, scen_state, scenario_npcs = _scenario_setup(
+        cfg, anns, eps, towns_of_eps, seed)
   maps, lanes, scene, state = build_batch(
       cfg, towns, eps, seed=seed, n_vehicles=n_vehicles,
       n_walkers=n_walkers, walker_sites=walker_sites,
-      town_of_episode=town_idx)
+      town_of_episode=town_idx, scenario_npcs=scenario_npcs)
   if use_scenarios:
     scene = scene.replace(scenarios=specs)
     state = state.replace(scenario=scen_state)

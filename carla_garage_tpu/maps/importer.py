@@ -4,11 +4,19 @@ Loads the reference's pre-rasterized town maps
 (team_code/birds_eye_view/maps/*.h5, birdview_map.py:22-344 format), route
 XMLs (leaderboard/data/longest6.xml etc.) and scenario JSONs into this
 framework's tensor formats, so the real Longest6/LAV benchmarks run inside
-the TPU simulator. Traffic-light trigger boxes are recovered from the
-`stopline` raster layer (connected components + PCA orientation) since the
-h5 files don't carry light actors; stop signs are not recoverable from the
-rasters (documented limitation — Longest6 scores them with penalty 1.0
-anyway, statistics_manager_local.py:28-30).
+the TPU simulator.
+
+The shipped h5 files carry geometry only — their `stopline` layers are empty
+and no junction/topology layer exists — so road TOPOLOGY is recovered from
+the road raster by maps/lane_graph.py: a town-wide directed lane graph for
+NPC traffic (the TrafficManager's lane network,
+route_scenario_local.py:445-494), junction detection, synthesized traffic
+lights with coordinated phases on every approach of signalized junctions
+(trigger-box semantics of autopilot.py:944-1011), stop signs on unsignalized
+minor entries (:1013-1070), and a per-pixel lane-direction channel for the
+wrong-way criterion (atomic_criteria_local.py:1040-1233). Light placement
+and phasing are synthesized (the rasters don't carry the real CARLA light
+actors), so infraction counts are comparable in kind, not in exact position.
 """
 
 from __future__ import annotations
@@ -43,16 +51,29 @@ class ImportedTown:
   light_green_s: np.ndarray
   light_yellow_s: np.ndarray
   light_red_s: np.ndarray
+  stop_pos: np.ndarray         # [S,2]
+  stop_yaw: np.ndarray
+  stop_extent: np.ndarray
+  lane_polys: list             # town-wide directed NPC lanes
+  lane_successors: list
+  lane_is_connector: np.ndarray
 
 
 def assets_available(root: str = DEFAULT_ASSETS) -> bool:
   return os.path.isdir(os.path.join(root, MAPS_DIR))
 
 
+_TOWN_CACHE: dict = {}
+
+
 def load_town(name: str, root: str = DEFAULT_ASSETS,
               rng_seed: int = 0) -> ImportedTown:
-  """Load one town's h5 raster into our channel layout."""
+  """Load one town's h5 raster + recover its lane graph / signalization."""
+  key = (name, root, rng_seed)
+  if key in _TOWN_CACHE:
+    return _TOWN_CACHE[key]
   import h5py
+  from carla_garage_tpu.maps import lane_graph as lg
   path = os.path.join(root, MAPS_DIR, f"{name}.h5")
   with h5py.File(path, "r") as f:
     road = np.asarray(f["road"]) > 0
@@ -65,59 +86,80 @@ def load_town(name: str, root: str = DEFAULT_ASSETS,
       sidewalk |= np.asarray(f["shoulder"]) > 0
     lane_all = np.asarray(f["lane_marking_all"]) > 0
     broken = (np.asarray(f["lane_marking_white_broken"]) > 0)
-    if "lane_marking_yellow_broken" in f:
-      broken |= np.asarray(f["lane_marking_yellow_broken"]) > 0
-    stopline = np.asarray(f["stopline"]) > 0
+    yellow = np.zeros_like(road)
+    for k in ("lane_marking_yellow_broken", "lane_marking_yellow_solid"):
+      if k in f:
+        yellow |= np.asarray(f[k]) > 0
+    broken |= np.asarray(f.get("lane_marking_yellow_broken",
+                               np.zeros((1, 1)))) > 0
     ppm = float(f.attrs["pixels_per_meter"])
     world_offset = np.asarray(f.attrs["world_offset_in_meters"], np.float32)
 
-  # junction layer is not shipped; approximate as a dilation around
-  # stop-line clusters (junction speed logic also uses route curvature)
-  from scipy import ndimage
-  junction = ndimage.binary_dilation(stopline, iterations=int(8 * ppm))
+  lanes = lg.build_town_lanes(road, ppm, world_offset, yellow=yellow,
+                              rng_seed=rng_seed)
+
+  # junction channel: disks at detected junction nodes
+  H, W = road.shape
+  junction = np.zeros((H, W), bool)
+  for c, r in zip(lanes.junction_centers, lanes.junction_radius):
+    px, py = (c - world_offset) * ppm
+    rp = int(r * ppm)
+    x0, x1 = max(int(px) - rp, 0), min(int(px) + rp + 1, W)
+    y0, y1 = max(int(py) - rp, 0), min(int(py) + rp + 1, H)
+    yy, xx = np.mgrid[y0:y1, x0:x1]
+    junction[y0:y1, x0:x1] |= (xx - px) ** 2 + (yy - py) ** 2 <= rp ** 2
   junction &= road
 
+  # stopline channel: stamp the synthesized light trigger boxes (feeds the
+  # BEV ground-truth renderer like the reference's stopline layer)
+  stopline = np.zeros((H, W), bool)
+  for p, yaw, e in zip(lanes.light_pos, lanes.light_yaw, lanes.light_extent):
+    n = np.array([-np.sin(yaw), np.cos(yaw)])
+    for t in np.linspace(-e[1], e[1], max(int(2 * e[1] * ppm), 2)):
+      q = ((p + n * t - world_offset) * ppm).astype(int)
+      if 0 <= q[1] < H and 0 <= q[0] < W:
+        stopline[q[1], q[0]] = True
+
+  from scipy import ndimage
   off = ~(road | sidewalk)
   obstacle = ndimage.binary_erosion(off, iterations=int(2.5 * ppm))
   from carla_garage_tpu.maps.synthetic import ground_semantic_channel
   ground_sem = ground_semantic_channel(road, sidewalk, lane_all)
   raster = np.stack([road, sidewalk, lane_all, broken, stopline,
                      junction, obstacle]).astype(np.uint8) * 255
-  raster = np.concatenate([raster, ground_sem[None]], 0)
+  raster = np.concatenate([raster, ground_sem[None],
+                           lanes.direction_raster[None]], 0)
   assert raster.shape[0] == Layer.NUM
 
-  # --- traffic lights from stop-line blobs ---
-  labels, n = ndimage.label(stopline)
+  # per-town deterministic phase assignment already encoded in offsets;
+  # add a small seeded stagger across junctions so the whole town doesn't
+  # switch in lockstep
   rng = np.random.default_rng(rng_seed)
-  lp, ly, le, lo = [], [], [], []
   cycle = 2 * (LIGHT_GREEN_S + LIGHT_YELLOW_S + LIGHT_ALL_RED_S)
-  for i in range(1, n + 1):
-    ys, xs = np.nonzero(labels == i)
-    if len(xs) < 4:
-      continue
-    cx, cy = xs.mean(), ys.mean()
-    pts = np.stack([xs - cx, ys - cy], -1).astype(np.float32)
-    cov = pts.T @ pts / len(pts)
-    evals, evecs = np.linalg.eigh(cov)
-    major = evecs[:, -1]                       # stop line direction (px)
-    half_len = max(np.sqrt(max(evals[-1], 0.0)) * 2.0 / ppm, 1.0)
-    world = np.array([cx, cy], np.float32) / ppm + world_offset
-    yaw = np.arctan2(major[1], major[0]) + np.pi / 2   # box faces traffic
-    lp.append(world)
-    ly.append(yaw)
-    le.append(np.array([1.5, half_len * 0.9]))
-    lo.append(rng.choice([0.0, cycle / 2]))
-  L = len(lp)
-  return ImportedTown(
+  L = len(lanes.light_pos)
+  stagger = np.zeros((L,), np.float32)
+  if L and len(lanes.junction_centers):
+    d = np.linalg.norm(lanes.light_pos[:, None] -
+                       lanes.junction_centers[None], axis=-1)
+    jid = d.argmin(1)
+    per_junction = rng.uniform(0.0, cycle,
+                               size=len(lanes.junction_centers))
+    stagger = per_junction[jid].astype(np.float32)
+
+  town = ImportedTown(
       name=name, raster=raster, world_offset=world_offset, ppm=ppm,
-      light_pos=np.asarray(lp, np.float32).reshape(L, 2),
-      light_yaw=np.asarray(ly, np.float32),
-      light_extent=np.asarray(le, np.float32).reshape(L, 2),
-      light_offset_s=np.asarray(lo, np.float32),
-      light_green_s=np.full((L,), LIGHT_GREEN_S, np.float32),
-      light_yellow_s=np.full((L,), LIGHT_YELLOW_S, np.float32),
-      light_red_s=np.full((L,), cycle - LIGHT_GREEN_S - LIGHT_YELLOW_S,
-                          np.float32))
+      light_pos=lanes.light_pos, light_yaw=lanes.light_yaw,
+      light_extent=lanes.light_extent,
+      light_offset_s=lanes.light_offset_s + stagger,
+      light_green_s=lanes.light_green_s,
+      light_yellow_s=lanes.light_yellow_s,
+      light_red_s=lanes.light_red_s,
+      stop_pos=lanes.stop_pos, stop_yaw=lanes.stop_yaw,
+      stop_extent=lanes.stop_extent,
+      lane_polys=lanes.lane_polys, lane_successors=lanes.lane_successors,
+      lane_is_connector=lanes.is_connector)
+  _TOWN_CACHE[key] = town
+  return town
 
 
 @dataclasses.dataclass
@@ -191,12 +233,14 @@ def scenarios_near_route(scenarios: dict, dense: np.ndarray,
   return out
 
 
-def as_synthetic_town(town: ImportedTown, route_polys: list[np.ndarray]):
+def as_synthetic_town(town: ImportedTown,
+                      route_polys: list | None = None):
   """Adapter: ImportedTown -> the scene builder's town interface.
 
-  NPC lanes are the episode routes themselves (the behavioral stand-in for
-  the TrafficManager's lane graph on real towns); stop signs are absent.
-  """
+  NPC lanes are the town-wide directed lane graph recovered from the road
+  raster; lights/stops are the synthesized signalization. `route_polys`
+  is accepted for backward compatibility and ignored (the lane graph
+  replaced per-route NPC lanes)."""
   from carla_garage_tpu.maps.synthetic import SyntheticTown
   return SyntheticTown(
       raster=town.raster, world_offset=town.world_offset, ppm=town.ppm,
@@ -204,11 +248,11 @@ def as_synthetic_town(town: ImportedTown, route_polys: list[np.ndarray]):
       light_extent=town.light_extent, light_offset_s=town.light_offset_s,
       light_green_s=town.light_green_s, light_yellow_s=town.light_yellow_s,
       light_red_s=town.light_red_s,
-      stop_pos=np.zeros((0, 2), np.float32),
-      stop_yaw=np.zeros((0,), np.float32),
-      stop_extent=np.zeros((0, 2), np.float32),
-      lane_polys=[p[::4] for p in route_polys],     # ~4 m polyline spacing
-      lane_successors=[[] for _ in route_polys],
-      junction_centers=np.zeros((0, 2), np.float32),
+      stop_pos=town.stop_pos,
+      stop_yaw=town.stop_yaw,
+      stop_extent=town.stop_extent,
+      lane_polys=town.lane_polys,
+      lane_successors=town.lane_successors,
+      junction_centers=np.zeros((0, 2), np.float32),  # use raster channel
       junction_half=0.0,
       xs=np.zeros((0,)), ys=np.zeros((0,)))

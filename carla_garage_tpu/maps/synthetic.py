@@ -205,9 +205,11 @@ def make_town(n_x: int = 4, n_y: int = 4, block: float = 120.0,
   off = ~(road | sidewalk)
   obstacle = ndimage.binary_erosion(off, iterations=int(2.5 * ppm))
   ground_sem = ground_semantic_channel(road, sidewalk, lane_all)
+  from carla_garage_tpu.maps.lane_graph import rasterize_direction
+  lane_dir = rasterize_direction(polys, road, 1.0 / ppm, world_offset)
   raster = np.stack([road, sidewalk, lane_all, lane_broken, stopline,
                      junction, obstacle]).astype(np.uint8) * 255
-  raster = np.concatenate([raster, ground_sem[None]], 0)
+  raster = np.concatenate([raster, ground_sem[None], lane_dir[None]], 0)
   assert raster.shape[0] == Layer.NUM
 
   if lights:

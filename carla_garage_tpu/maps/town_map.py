@@ -27,7 +27,8 @@ class Layer:
   JUNCTION = 5
   OBSTACLE = 6     # solid static geometry (buildings): off-map eroded ~2.5 m
   GROUND_SEM = 7   # precomputed camera semantic class per ground pixel
-  NUM = 8
+  LANE_DIR = 8     # lane travel direction: 0 = none, 1..16 = yaw bin
+  NUM = 9
 
 
 @struct.dataclass

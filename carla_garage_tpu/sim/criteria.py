@@ -88,12 +88,21 @@ def criteria_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
   min_d = jnp.min(jnp.where(in_route_b, db, jnp.inf), -1)
   deviated = cr.deviated | (min_d > c.route_deviation_m)
 
-  # --- outside route lanes (:1040-1233): distance driven off the drivable
-  # road OR outside the route's own lane (wrong-lane driving — the
-  # criterion counts both off-lane and wrong-direction lanes) ---
+  # --- outside route lanes (:1040-1233): the reference splits the driven
+  # distance into off-road (sidewalk/terrain) and wrong-direction lane via
+  # waypoint lane topology. Here the map's LANE_DIR channel carries the
+  # travel direction of the nearest lane (16 yaw bins, maps/lane_graph.py);
+  # driving against it outside a junction is the opposite-lane case.
   on_road = maps.sample(scene.town_id[:, None], Layer.ROAD,
                         ego.pos[:, None])[:, 0]
-  wrong_lane = on_road & (min_d > 5.0)     # clearly in an opposing lane
+  in_junc = maps.sample(scene.town_id[:, None], Layer.JUNCTION,
+                        ego.pos[:, None])[:, 0]
+  dir_bin = maps.sample_value(scene.town_id[:, None], Layer.LANE_DIR,
+                              ego.pos[:, None])[:, 0]
+  lane_yaw = (dir_bin - 1).astype(jnp.float32) * (2 * jnp.pi / 16.0)
+  yaw_diff = jnp.abs(geo.normalize_angle(ego.yaw - lane_yaw))
+  moving = ego.speed > c.blocked_speed_threshold
+  wrong_lane = on_road & ~in_junc & (dir_bin > 0) & (yaw_diff > 2.0) & moving
   off = ~on_road | wrong_lane
   outside_lane_m = cr.outside_lane_m + jnp.where(off, step_m, 0.0)
 
@@ -138,9 +147,11 @@ def criteria_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
   # so we test the ego center point, latched per entry ---
   lights = scene.lights
   lstate = lights.state_at(state.time_s)
+  facing_l = jnp.abs(geo.normalize_angle(
+      lights.yaw - ego.yaw[:, None])) < 0.8    # only the ego's own approach
   inside = geo.point_in_obb(
       ego.pos[:, None], lights.pos, lights.yaw,
-      lights.extent) & lights.valid
+      lights.extent) & lights.valid & facing_l
   red_run = inside & (lstate == LightState.RED) & ~cr.red_light_cooldown \
       & (ego.speed > c.blocked_speed_threshold)[:, None]   # crossing = moving
   n_red_new = jnp.sum(red_run, -1).astype(jnp.int32)
@@ -149,9 +160,11 @@ def criteria_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
 
   # --- stop signs (:1883-2048): must reach ~0 speed inside the trigger ---
   stops = scene.stops
+  facing_s = jnp.abs(geo.normalize_angle(
+      stops.yaw - ego.yaw[:, None])) < 0.8
   in_stop = geo.obb_intersect(
       ego.pos[:, None], ego.yaw[:, None], ego_e[None, None],
-      stops.pos, stops.yaw, stops.extent) & stops.valid
+      stops.pos, stops.yaw, stops.extent) & stops.valid & facing_s
   stopped = ego.speed < c.blocked_speed_threshold
   satisfied = cr.stop_pending & in_stop & stopped[:, None]
   violated = cr.stop_pending & ~in_stop & ~cr.stop_done   # left w/o stopping

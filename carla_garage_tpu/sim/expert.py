@@ -346,11 +346,16 @@ def expert_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
                              wlk.pos, wlk.yaw, wlk.extent) & wlk_near
   walker_hazard |= jnp.any(sb_wlk, -1)
 
-  # --- red light (autopilot.py:944-1011) ---
+  # --- red light (autopilot.py:944-1011): only lights FACING the ego
+  # affect it (CARLA trigger volumes are per-approach; without the facing
+  # filter the crossing street's opposite-phase box deadlocks the ego at
+  # junction entries — one of the two is always red) ---
   lights = scene.lights
   lstate = lights.state_at(state.time_s)                            # [B,L]
   ldist = jnp.linalg.norm(lights.pos - ego.pos[:, None], axis=-1)
-  lnear = lights.valid & (ldist < e.light_radius)
+  facing = jnp.abs(geo.normalize_angle(
+      lights.yaw - ego.yaw[:, None])) < 0.8
+  lnear = lights.valid & (ldist < e.light_radius) & facing
   ego_e = jnp.array([s.ego_extent_x, s.ego_extent_y])
   hit_sb = geo.obb_intersect(sb_c[:, None], sb_yaw[:, None], sb_e[None, None],
                              lights.pos, lights.yaw, lights.extent)
@@ -364,7 +369,9 @@ def expert_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
   # --- stop signs (autopilot.py:1013-1070) ---
   stops = scene.stops
   sdist = jnp.linalg.norm(stops.pos - ego.pos[:, None], axis=-1)
-  snear = stops.valid & (sdist < e.light_radius)
+  sfacing = jnp.abs(geo.normalize_angle(
+      stops.yaw - ego.yaw[:, None])) < 0.8
+  snear = stops.valid & (sdist < e.light_radius) & sfacing
   st_ego = geo.obb_intersect(ego.pos[:, None], ego.yaw[:, None],
                              ego_e[None, None],
                              stops.pos, stops.yaw, stops.extent) & snear

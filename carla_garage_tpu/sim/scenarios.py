@@ -110,11 +110,15 @@ def scenario_step(cfg: GlobalConfig, specs: ScenarioSpecs,
                        specs.magnitude[..., None], jnp.inf)
   npc_speed_cap = jnp.min(slow_cap, axis=1)                        # [B,V]
 
-  # JUNCTION_CROSSING / OPPOSITE_DIRECTION: the NPC sits parked (invalid
-  # lane target speed 0 via cap) until triggered, then drives (cap lifted)
+  # Scripted actors sit parked (speed cap 0) until triggered, then drive:
+  # JUNCTION_CROSSING crosses the junction, OPPOSITE_DIRECTION starts
+  # toward the ego on the opposing lane, FOLLOW_LEADING becomes the
+  # braking leader, OTHER_LEADING the slow leader.
   is_wait = specs.valid & ~triggered & (
       (specs.kind == ScenarioType.JUNCTION_CROSSING) |
-      (specs.kind == ScenarioType.OPPOSITE_DIRECTION))
+      (specs.kind == ScenarioType.OPPOSITE_DIRECTION) |
+      (specs.kind == ScenarioType.FOLLOW_LEADING) |
+      (specs.kind == ScenarioType.OTHER_LEADING))
   wait_cap = jnp.where(is_wait[..., None] & slot_oh, 0.0, jnp.inf)
   npc_speed_cap = jnp.minimum(npc_speed_cap, jnp.min(wait_cap, axis=1))
 

@@ -101,6 +101,81 @@ def snap_to_road(dense: np.ndarray, town: SyntheticTown) -> np.ndarray:
   return dense.astype(np.float32)
 
 
+_LANE_SNAP_CACHE: dict = {}
+
+
+def _lane_snap_index(town: SyntheticTown):
+  """KD-tree over direction-tagged lane sample points (cached per town)."""
+  from scipy.spatial import cKDTree
+  key = id(town.raster)
+  if key not in _LANE_SNAP_CACHE:
+    pts, yaws = [], []
+    for poly in town.lane_polys:
+      poly = np.asarray(poly, np.float32)
+      if len(poly) < 2:
+        continue
+      seg = np.linalg.norm(np.diff(poly, axis=0), axis=-1)
+      arc = np.concatenate([[0.0], np.cumsum(seg)])
+      if arc[-1] < 2.0:
+        continue
+      t = np.arange(0.0, arc[-1], 2.0)
+      xs = np.interp(t, arc, poly[:, 0])
+      ys = np.interp(t, arc, poly[:, 1])
+      pts.append(np.stack([xs, ys], -1))
+      yaws.append(np.arctan2(np.gradient(ys), np.gradient(xs)))
+    if pts:
+      P = np.concatenate(pts).astype(np.float32)
+      Y = np.concatenate(yaws).astype(np.float32)
+      _LANE_SNAP_CACHE[key] = (cKDTree(P), P, Y)
+    else:
+      _LANE_SNAP_CACHE[key] = None
+  return _LANE_SNAP_CACHE[key]
+
+
+def snap_to_lane(dense: np.ndarray, town: SyntheticTown,
+                 max_snap: float = 8.0) -> np.ndarray:
+  """Project the dense route onto the nearest direction-matched lane.
+
+  The reference's routes follow OpenDRIVE lane centerlines exactly (CARLA
+  GlobalRoutePlanner); our Hermite interpolation only follows the road
+  SURFACE, which can sit on the oncoming half of a two-way street and
+  deadlock head-on against NPC traffic. Snapping each point to the nearest
+  lane sample whose travel direction matches the local route direction
+  (+-60 deg) puts the ego on the right-hand lane everywhere the lane graph
+  covers; unmatched points keep their position. Output is re-resampled to
+  ~1 m spacing."""
+  idx = _lane_snap_index(town)
+  if idx is None or len(dense) < 4:
+    return dense
+  tree, P, Y = idx
+  d = np.diff(dense, axis=0)
+  yaw_r = np.arctan2(d[:, 1], d[:, 0])
+  yaw_r = np.concatenate([yaw_r, yaw_r[-1:]])
+  dist, nn = tree.query(dense, k=8)
+  cand_yaw = Y[nn]                                     # [N,8]
+  ddiff = np.abs(np.arctan2(np.sin(cand_yaw - yaw_r[:, None]),
+                            np.cos(cand_yaw - yaw_r[:, None])))
+  ok = (ddiff < 1.05) & (dist < max_snap)
+  has = ok.any(1)
+  first = np.argmax(ok, axis=1)
+  snapped = np.where(has[:, None],
+                     P[nn[np.arange(len(dense)), first]], dense)
+  # smooth, then resample back to ~1 m spacing
+  k = 7
+  pad = np.concatenate([snapped[:1].repeat(k // 2, 0), snapped,
+                        snapped[-1:].repeat(k // 2, 0)])
+  ker = np.ones(k) / k
+  sm = np.stack([np.convolve(pad[:, 0], ker, "valid"),
+                 np.convolve(pad[:, 1], ker, "valid")], -1)
+  seg = np.linalg.norm(np.diff(sm, axis=0), axis=-1)
+  arc = np.concatenate([[0.0], np.cumsum(seg)])
+  if arc[-1] < 2.0:
+    return dense
+  t = np.arange(0.0, arc[-1], 1.0)
+  return np.stack([np.interp(t, arc, sm[:, 0]),
+                   np.interp(t, arc, sm[:, 1])], -1).astype(np.float32)
+
+
 _ROUTER_CACHE: dict = {}
 
 
@@ -118,6 +193,7 @@ def compile_route(town: SyntheticTown, keypoints_xy: np.ndarray,
   router = _road_router(town) if use_router else None
   dense = routing.interpolate_keypoints_routed(keypoints_xy, keypoints_yaw,
                                                router)
+  dense = snap_to_lane(dense, town)
   dense = snap_to_road(dense, town)
   junc = town.in_junction(dense) | curvature_junction_flags(dense)
   cmd = routing.classify_commands(dense, junc)
@@ -130,18 +206,26 @@ def compile_route(town: SyntheticTown, keypoints_xy: np.ndarray,
 def build_batch(cfg: GlobalConfig, town,
                 episodes: list[HostEpisode], seed: int = 0,
                 n_vehicles: int = 8, n_walkers: int = 2,
-                npc_lane_per_episode: bool = False,
+                npc_lane_per_episode: bool = False,  # deprecated, ignored
                 walker_sites: list | None = None,
-                town_of_episode: list | None = None):
+                town_of_episode: list | None = None,
+                scenario_npcs: list | None = None,
+                npc_spawn_radius: float = 120.0):
   """Returns (MapStack, LaneGraph, Scene, SimState) for a batch of
   episodes.
 
   `town` is a single SyntheticTown or a LIST of towns with
   `town_of_episode[b]` giving each episode's town index — a mixed-town
   batch runs as ONE jitted rollout (the full Longest6 in one scan).
+  NPCs spawn on the town-wide lane graph within `npc_spawn_radius` of the
+  episode's route (the on-chip analog of the TrafficManager's 500
+  town-wide vehicles — density where it matters).
   walker_sites: optional per-episode (pos[2], dir[2]) crossing spawns
   (from benchmark scenario annotations) overriding random placement.
-  In multi-town mode NPC lanes are per-episode routes (lane b = route b).
+  scenario_npcs: optional per-episode list of dicts with keys
+  {pos [2], yaw, lane_id (town-local), lane_t, hold} — scripted scenario
+  actors placed in the LAST vehicle slots (slot V-1-i for the i-th), so
+  scenario specs can address them deterministically.
   """
   rng = np.random.default_rng(seed)
   B = len(episodes)
@@ -155,16 +239,26 @@ def build_batch(cfg: GlobalConfig, town,
     assert town_of_episode is not None and len(town_of_episode) == B
     maps = stack_towns([t.raster for t in towns],
                        [t.world_offset for t in towns], towns[0].ppm)
-    # NPC lanes = the episode routes themselves
-    lanes = LaneGraph.from_polylines([ep.dense[::4] for ep in episodes],
-                                     [[] for _ in episodes])
-    npc_lane_per_episode = True
     town_ids = np.asarray(town_of_episode, np.int32)
   else:
     towns = [town]
     maps = stack_towns([town.raster], [town.world_offset], town.ppm)
-    lanes = LaneGraph.from_polylines(town.lane_polys, town.lane_successors)
     town_ids = np.zeros((B,), np.int32)
+  # concatenated lane graph over all towns; episode b's NPCs use lanes in
+  # [lane_lo[t], lane_hi[t]) of its town t
+  all_polys: list = []
+  all_succ: list = []
+  lane_lo = []
+  for t in towns:
+    off_ = len(all_polys)
+    lane_lo.append(off_)
+    all_polys += list(t.lane_polys)
+    all_succ += [[si + off_ for si in sl] for sl in t.lane_successors]
+  lane_lo.append(len(all_polys))
+  if not all_polys:                       # degenerate: no lane network
+    all_polys = [np.zeros((2, 2), np.float32)]
+    all_succ = [[]]
+  lanes = LaneGraph.from_polylines(all_polys, all_succ)
 
   # ---- routes ----
   pts = np.zeros((B, R, 2), np.float32)
@@ -197,87 +291,122 @@ def build_batch(cfg: GlobalConfig, town,
                 sparse_points=jnp.asarray(spts), sparse_cmd=jnp.asarray(scmd),
                 sparse_num_valid=jnp.asarray(snv))
 
-  # ---- lights / stops: pad town layout, replicate over B ----
-  def pad(a, n, fill=0.0):
-    out = np.full((n,) + a.shape[1:], fill, np.float32)
-    out[:min(len(a), n)] = a[:n]
-    return out
-
+  # ---- lights / stops: per episode, keep the slots nearest its route
+  # (a town can carry far more lights than L; everything the ego or nearby
+  # NPC flow can touch sits within ~60 m of the route) ----
   def town_of(b):
     return towns[int(town_ids[b])]
 
-  lp = np.stack([pad(town_of(b).light_pos, L) for b in range(B)])
+  def select_near(pos, route_sub, n_max, radius=60.0):
+    if len(pos) == 0:
+      return np.zeros((0,), np.int64)
+    d = np.linalg.norm(pos[:, None] - route_sub[None], axis=-1).min(1)
+    idx = np.nonzero(d < radius)[0]
+    return idx[np.argsort(d[idx])][:n_max]
+
+  def gather_pad(a, idx, n, extra=()):
+    out = np.zeros((n,) + a.shape[1:], np.float32)
+    out[:len(idx)] = a[idx]
+    return out
+
+  route_subs = [ep.dense[::8] for ep in episodes]
+  lsel = [select_near(town_of(b).light_pos, route_subs[b], L)
+          for b in range(B)]
+  ssel = [select_near(town_of(b).stop_pos, route_subs[b], S)
+          for b in range(B)]
   # Per-episode light-phase jitter: repetitions of the same route see
   # different light timing (the per-route re-seeding of
   # leaderboard_evaluator_local.py:271-274 — without it every rep meets
   # identical phases and rep variance collapses).
   phase_jitter = rng.uniform(0.0, 30.0, size=(B, 1)).astype(np.float32)
   lights = TrafficLights(
-      pos=jnp.asarray(lp),
-      yaw=jnp.asarray(np.stack([pad(town_of(b).light_yaw, L)
-                                for b in range(B)])),
-      extent=jnp.asarray(np.stack([pad(town_of(b).light_extent, L)
-                                   for b in range(B)])),
-      offset_s=jnp.asarray(np.stack([pad(town_of(b).light_offset_s, L)
-                                     for b in range(B)]) + phase_jitter),
-      green_s=jnp.asarray(np.stack([pad(town_of(b).light_green_s, L)
-                                    for b in range(B)])),
-      yellow_s=jnp.asarray(np.stack([pad(town_of(b).light_yellow_s, L)
-                                     for b in range(B)])),
-      red_s=jnp.asarray(np.stack([pad(town_of(b).light_red_s, L)
-                                  for b in range(B)])),
+      pos=jnp.asarray(np.stack([
+          gather_pad(town_of(b).light_pos, lsel[b], L) for b in range(B)])),
+      yaw=jnp.asarray(np.stack([
+          gather_pad(town_of(b).light_yaw, lsel[b], L) for b in range(B)])),
+      extent=jnp.asarray(np.stack([
+          gather_pad(town_of(b).light_extent, lsel[b], L)
+          for b in range(B)])),
+      offset_s=jnp.asarray(np.stack([
+          gather_pad(town_of(b).light_offset_s, lsel[b], L)
+          for b in range(B)]) + phase_jitter),
+      green_s=jnp.asarray(np.stack([
+          gather_pad(town_of(b).light_green_s, lsel[b], L)
+          for b in range(B)])),
+      yellow_s=jnp.asarray(np.stack([
+          gather_pad(town_of(b).light_yellow_s, lsel[b], L)
+          for b in range(B)])),
+      red_s=jnp.asarray(np.stack([
+          gather_pad(town_of(b).light_red_s, lsel[b], L)
+          for b in range(B)])),
       valid=jnp.asarray(np.stack([
-          np.arange(L) < min(len(town_of(b).light_pos), L)
-          for b in range(B)])))
+          np.arange(L) < len(lsel[b]) for b in range(B)])))
   stops = StopSigns(
-      pos=jnp.asarray(np.stack([pad(town_of(b).stop_pos, S)
-                                for b in range(B)])),
-      yaw=jnp.asarray(np.stack([pad(town_of(b).stop_yaw, S)
-                                for b in range(B)])),
-      extent=jnp.asarray(np.stack([pad(town_of(b).stop_extent, S)
-                                   for b in range(B)])),
+      pos=jnp.asarray(np.stack([
+          gather_pad(town_of(b).stop_pos, ssel[b], S) for b in range(B)])),
+      yaw=jnp.asarray(np.stack([
+          gather_pad(town_of(b).stop_yaw, ssel[b], S) for b in range(B)])),
+      extent=jnp.asarray(np.stack([
+          gather_pad(town_of(b).stop_extent, ssel[b], S)
+          for b in range(B)])),
       valid=jnp.asarray(np.stack([
-          np.arange(S) < min(len(town_of(b).stop_pos), S)
-          for b in range(B)])))
+          np.arange(S) < len(ssel[b]) for b in range(B)])))
 
-  # ---- NPC vehicles on random lanes, away from the ego start ----
+  # ---- NPC vehicles on town lanes near the route (background traffic) ----
   vpos = np.zeros((B, V, 2), np.float32)
   vyaw = np.zeros((B, V), np.float32)
   vvalid = np.zeros((B, V), bool)
   vlane = np.zeros((B, V), np.int32)
   vt = np.zeros((B, V), np.float32)
-  n_lanes = B if multi else len(town.lane_polys)
-  lane_polys = [ep.dense[::4] for ep in episodes] if multi \
-      else town.lane_polys
+  # precompute lane anchors (start/mid/end) for near-route candidate tests
+  anchors = np.stack([np.stack([p[0], p[len(p) // 2], p[-1]])
+                      for p in all_polys])                # [N,3,2]
+  arcs = [np.concatenate([[0.0], np.cumsum(np.linalg.norm(
+      np.diff(p, axis=0), axis=-1))]) for p in all_polys]
+  n_scen = [len(scenario_npcs[b]) if scenario_npcs else 0 for b in range(B)]
   for b in range(B):
+    ti = int(town_ids[b])
+    lo, hi = lane_lo[ti], lane_lo[ti + 1]
+    d_anchor = np.linalg.norm(
+        anchors[lo:hi, :, None] - route_subs[b][None, None], axis=-1)
+    cand = lo + np.nonzero(d_anchor.min((1, 2)) < npc_spawn_radius)[0]
     ego0 = episodes[b].dense[0]
     placed = 0
+    budget = min(n_vehicles, V - n_scen[b])
     for _ in range(n_vehicles * 8):
-      if placed >= min(n_vehicles, V):
+      if placed >= budget or len(cand) == 0:
         break
-      # imported towns: keep each episode's NPCs on its own route lane so
-      # opposite-direction lane overlaps can't deadlock head-on
-      li = b % n_lanes if npc_lane_per_episode else rng.integers(0, n_lanes)
-      poly = lane_polys[li]
-      seg_ln = np.linalg.norm(np.diff(poly, axis=0), axis=-1)
-      total = seg_ln.sum()
-      t = float(rng.uniform(0.1, 0.9)) * total
-      arc = np.concatenate([[0.0], np.cumsum(seg_ln)])
+      li = int(cand[rng.integers(0, len(cand))])
+      arc = arcs[li]
+      total = arc[-1]
+      if total < 10.0:
+        continue
+      t = float(rng.uniform(0.05, 0.95)) * total
+      poly = all_polys[li]
       x = np.interp(t, arc, poly[:, 0])
       y = np.interp(t, arc, poly[:, 1])
       if np.linalg.norm([x - ego0[0], y - ego0[1]]) < 15.0:
         continue
       if placed and np.min(np.linalg.norm(
-          vpos[b, :placed] - np.array([x, y]), axis=-1)) < 10.0:
+          vpos[b, :placed] - np.array([x, y]), axis=-1)) < 9.0:
         continue
-      k = min(np.searchsorted(arc, t), len(poly) - 1)
-      d = poly[min(k, len(poly) - 1)] - poly[max(k - 1, 0)]
+      k = min(max(np.searchsorted(arc, t), 1), len(poly) - 1)
+      d = poly[k] - poly[k - 1]
       vpos[b, placed] = (x, y)
       vyaw[b, placed] = np.arctan2(d[1], d[0])
       vlane[b, placed] = li
       vt[b, placed] = t
       vvalid[b, placed] = True
       placed += 1
+    # scripted scenario actors in the LAST slots: slot V-1-i
+    if scenario_npcs:
+      for i, spec in enumerate(scenario_npcs[b][:V // 4]):
+        sl = V - 1 - i
+        vpos[b, sl] = spec["pos"]
+        vyaw[b, sl] = spec["yaw"]
+        vlane[b, sl] = lo + int(spec["lane_id"])
+        vt[b, sl] = spec["lane_t"]
+        vvalid[b, sl] = True
   sb = cfg.expert.stuck_buffer_size
   vehicles = VehicleStates(
       pos=jnp.asarray(vpos), yaw=jnp.asarray(vyaw),

@@ -18,12 +18,16 @@ def _setup():
   return maps, scene, state
 
 
-def _step_at(maps, scene, state, pos, speed, tick=100):
-  """Place the ego and run one criteria update."""
-  st = state.replace(
-      ego=state.ego.replace(pos=jnp.asarray([pos], jnp.float32),
-                            speed=jnp.asarray([speed], jnp.float32)),
-      tick=jnp.asarray([tick], jnp.int32))
+def _step_at(maps, scene, state, pos, speed, tick=100, yaw=None):
+  """Place the ego and run one criteria update. yaw defaults to the
+  current ego yaw; red-light/stop criteria only consider trigger boxes
+  FACING the ego (per-approach semantics), so tests aim the ego at the
+  box they exercise."""
+  ego = state.ego.replace(pos=jnp.asarray([pos], jnp.float32),
+                          speed=jnp.asarray([speed], jnp.float32))
+  if yaw is not None:
+    ego = ego.replace(yaw=jnp.asarray([yaw], jnp.float32))
+  st = state.replace(ego=ego, tick=jnp.asarray([tick], jnp.int32))
   cr = criteria_step(CFG, maps, scene, st.ego.pos, st)
   return st.replace(criteria=cr)
 
@@ -34,20 +38,29 @@ def test_red_light_crossing_and_latch():
   lv = np.asarray(scene.lights.valid[0])
   li = int(np.nonzero(lv)[0][0])
   light_pos = lp[li]
+  light_yaw = float(np.asarray(scene.lights.yaw[0])[li])
   # pick a time when this light is RED
   for t in range(0, 600, 10):
     st = state.replace(tick=jnp.asarray([t], jnp.int32))
     if int(scene.lights.state_at(st.time_s)[0, li]) == LightState.RED:
       break
   # moving through the trigger while red: infraction once
-  st = _step_at(maps, scene, state, light_pos, speed=5.0, tick=t)
+  st = _step_at(maps, scene, state, light_pos, speed=5.0, tick=t,
+                yaw=light_yaw)
   assert int(st.criteria.n_red_light[0]) == 1
   # still inside next tick: latched, no second count
-  st2 = _step_at(maps, scene, st, light_pos, speed=5.0, tick=t)
+  st2 = _step_at(maps, scene, st, light_pos, speed=5.0, tick=t,
+                 yaw=light_yaw)
   assert int(st2.criteria.n_red_light[0]) == 1
   # standing still inside while red: no infraction (crossing = moving)
-  st3 = _step_at(maps, scene, state, light_pos, speed=0.0, tick=t)
+  st3 = _step_at(maps, scene, state, light_pos, speed=0.0, tick=t,
+                 yaw=light_yaw)
   assert int(st3.criteria.n_red_light[0]) == 0
+  # crossing while red but NOT facing the light (perpendicular street):
+  # not an infraction for this approach
+  st4 = _step_at(maps, scene, state, light_pos, speed=5.0, tick=t,
+                 yaw=light_yaw + np.pi / 2)
+  assert int(st4.criteria.n_red_light[0]) == 0
 
 
 def test_stop_sign_fsm():
@@ -56,16 +69,17 @@ def test_stop_sign_fsm():
   sv = np.asarray(scene.stops.valid[0])
   si = int(np.nonzero(sv)[0][0])
   stop_pos = sp[si]
+  stop_yaw = float(np.asarray(scene.stops.yaw[0])[si])
   far = stop_pos + np.array([50.0, 50.0])
   # drive through without stopping -> infraction when leaving
-  st = _step_at(maps, scene, state, stop_pos, speed=5.0)
+  st = _step_at(maps, scene, state, stop_pos, speed=5.0, yaw=stop_yaw)
   assert int(st.criteria.n_stop_sign[0]) == 0     # still inside: pending
-  st = _step_at(maps, scene, st, far, speed=5.0)
+  st = _step_at(maps, scene, st, far, speed=5.0, yaw=stop_yaw)
   assert int(st.criteria.n_stop_sign[0]) == 1
   # enter, stop, leave -> satisfied, no infraction
-  st = _step_at(maps, scene, state, stop_pos, speed=5.0)
-  st = _step_at(maps, scene, st, stop_pos, speed=0.0)
-  st = _step_at(maps, scene, st, far, speed=5.0)
+  st = _step_at(maps, scene, state, stop_pos, speed=5.0, yaw=stop_yaw)
+  st = _step_at(maps, scene, st, stop_pos, speed=0.0, yaw=stop_yaw)
+  st = _step_at(maps, scene, st, far, speed=5.0, yaw=stop_yaw)
   assert int(st.criteria.n_stop_sign[0]) == 0
 
 
