@@ -4,8 +4,14 @@ The reference pulls `regnety_032` from TIMM for both branches
 (transfuser.py:25-58, config.py:200-201). Re-implemented here in flax,
 channels-last (NHWC) so convolutions tile straight onto the MXU, with
 GroupNorm by default instead of BatchNorm (no cross-device stat syncing —
-the TPU-idiomatic swap noted in SURVEY.md §2.8; a BN variant can be enabled
-for torch-checkpoint parity).
+the TPU-idiomatic swap noted in SURVEY.md §2.8).
+
+For torch-checkpoint drop-in, norm="bn_affine" replaces each GroupNorm
+with an AffineNorm carrying the FOLDED inference BatchNorm
+(scale = gamma/sqrt(var+eps), bias = beta - mean*scale — see
+convert/torch_import.batchnorm_scale_bias). This reproduces the
+reference's eval-mode numerics exactly without running statistics;
+training new models stays on GroupNorm.
 
 RegNetY-032 spec (timm): stem 32, stages depth (2, 5, 13, 1), widths
 (72, 216, 576, 1512), group width 24, SE ratio 0.25, stride 2 per stage.
@@ -23,6 +29,23 @@ REGNETY_032 = dict(depths=(2, 5, 13, 1), widths=(72, 216, 576, 1512),
 # A small config for tests / fast iteration
 REGNETY_MICRO = dict(depths=(1, 1, 2, 1), widths=(32, 64, 128, 256),
                      group_w=16, se_ratio=0.25, stem_w=16)
+
+
+class AffineNorm(nn.Module):
+  """Per-channel affine: inference-mode BatchNorm with folded statistics."""
+
+  @nn.compact
+  def __call__(self, x):
+    c = x.shape[-1]
+    scale = self.param("scale", nn.initializers.ones, (c,))
+    bias = self.param("bias", nn.initializers.zeros, (c,))
+    return x * scale + bias
+
+
+def make_norm(norm: str, width: int, name: str):
+  if norm == "bn_affine":
+    return AffineNorm(name=name)
+  return nn.GroupNorm(num_groups=min(32, width), name=name)
 
 
 class SqueezeExcite(nn.Module):
@@ -43,36 +66,38 @@ class YBlock(nn.Module):
   stride: int
   group_w: int
   se_ratio: float
+  norm: str = "gn"
 
   @nn.compact
   def __call__(self, x):
     w_in = x.shape[-1]
     groups = max(self.width // self.group_w, 1)
     h = nn.Conv(self.width, (1, 1), use_bias=False, name="conv1")(x)
-    h = nn.GroupNorm(num_groups=min(32, self.width), name="norm1")(h)
+    h = make_norm(self.norm, self.width, "norm1")(h)
     h = nn.relu(h)
     h = nn.Conv(self.width, (3, 3), strides=(self.stride, self.stride),
                 feature_group_count=groups, use_bias=False, name="conv2")(h)
-    h = nn.GroupNorm(num_groups=min(32, self.width), name="norm2")(h)
+    h = make_norm(self.norm, self.width, "norm2")(h)
     h = nn.relu(h)
     h = SqueezeExcite(max(int(w_in * self.se_ratio), 8), name="se")(h)
     h = nn.Conv(self.width, (1, 1), use_bias=False, name="conv3")(h)
-    h = nn.GroupNorm(num_groups=min(32, self.width), name="norm3")(h)
+    h = make_norm(self.norm, self.width, "norm3")(h)
     if self.stride != 1 or w_in != self.width:
       x = nn.Conv(self.width, (1, 1), strides=(self.stride, self.stride),
                   use_bias=False, name="down_conv")(x)
-      x = nn.GroupNorm(num_groups=min(32, self.width), name="down_norm")(x)
+      x = make_norm(self.norm, self.width, "down_norm")(x)
     return nn.relu(x + h)
 
 
 class RegNetYStem(nn.Module):
   stem_w: int
+  norm: str = "gn"
 
   @nn.compact
   def __call__(self, x):
     h = nn.Conv(self.stem_w, (3, 3), strides=(2, 2), use_bias=False,
                 name="conv")(x)
-    h = nn.GroupNorm(num_groups=min(32, self.stem_w), name="norm")(h)
+    h = make_norm(self.norm, self.stem_w, "norm")(h)
     return nn.relu(h)
 
 
@@ -81,12 +106,13 @@ class RegNetYStage(nn.Module):
   width: int
   group_w: int
   se_ratio: float
+  norm: str = "gn"
 
   @nn.compact
   def __call__(self, x):
     for bi in range(self.depth):
       x = YBlock(self.width, 2 if bi == 0 else 1, self.group_w,
-                 self.se_ratio, name=f"b{bi}")(x)
+                 self.se_ratio, norm=self.norm, name=f"b{bi}")(x)
     return x
 
 
@@ -97,13 +123,14 @@ class RegNetY(nn.Module):
   group_w: int = REGNETY_032["group_w"]
   se_ratio: float = REGNETY_032["se_ratio"]
   stem_w: int = REGNETY_032["stem_w"]
+  norm: str = "gn"
 
   @nn.compact
   def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
-    h = RegNetYStem(self.stem_w, name="stem")(x)
+    h = RegNetYStem(self.stem_w, norm=self.norm, name="stem")(x)
     feats = []
     for si, (d, w) in enumerate(zip(self.depths, self.widths)):
-      h = RegNetYStage(d, w, self.group_w, self.se_ratio,
+      h = RegNetYStage(d, w, self.group_w, self.se_ratio, norm=self.norm,
                        name=f"stage{si}")(h)
       feats.append(h)
     return tuple(feats)

@@ -61,7 +61,8 @@ class CenterNetHead(nn.Module):
   num_dir_bins: int = 12
 
   def _branch(self, x, out, name, bias_init=0.0):
-    h = nn.Conv(self.feat_channels, (3, 3), name=f"{name}_conv")(x)
+    # hidden width = input width (center_net._build_head: Conv(in, in, 3))
+    h = nn.Conv(x.shape[-1], (3, 3), name=f"{name}_conv")(x)
     h = nn.relu(h)
     return nn.Conv(out, (1, 1), name=f"{name}_out",
                    bias_init=nn.initializers.constant(bias_init))(h)
@@ -84,22 +85,31 @@ class CenterNetHead(nn.Module):
 
 class GRUWaypointsPredictorTransFuser(nn.Module):
   """Autoregressive GRUCell waypoint decoder (model.py:870-913): each step
-  feeds the current waypoint + target point; outputs cumulative deltas."""
+  feeds the current waypoint + target point; outputs cumulative deltas.
+  With learn_origin the context carries the waypoint origin in its last two
+  features (model.py:889-893, config.learn_origin=1 in TF++)."""
   pred_len: int
   hidden_size: int = 64
   target_point_size: int = 2
+  learn_origin: bool = False
 
   @nn.compact
   def __call__(self, z, target_point):
-    """z [B,hidden] context; target_point [B,2] -> waypoints [B,pred_len,2]."""
+    """z [B,hidden(+2 if learn_origin)]; target_point [B,2] ->
+    waypoints [B,pred_len,2]."""
     B = z.shape[0]
     cell = nn.GRUCell(features=self.hidden_size, name="gru")
     out_proj = nn.Dense(2, name="decoder")
-    carry = z
-    x = jnp.zeros((B, 2))
+    if self.learn_origin:
+      x = z[:, self.hidden_size:self.hidden_size + 2]
+      carry = z[:, :self.hidden_size]
+    else:
+      x = jnp.zeros((B, 2))
+      carry = z
     wps = []
     for _ in range(self.pred_len):
-      inp = jnp.concatenate([x, target_point], -1)
+      inp = jnp.concatenate([x, target_point], -1) \
+          if self.target_point_size > 0 else x
       carry, _ = cell(carry, inp)
       dx = out_proj(carry)
       x = x + dx
@@ -108,18 +118,23 @@ class GRUWaypointsPredictorTransFuser(nn.Module):
 
 
 class GRUWaypointsPredictorInterFuser(nn.Module):
-  """Parallel GRU over query tokens + cumsum (model.py:839-867)."""
+  """GRU over query tokens with the target-point embedding as the INITIAL
+  HIDDEN state, then per-step decode + cumsum (model.py:839-867)."""
   pred_len: int
   hidden_size: int = 64
+  target_point_size: int = 2
 
   @nn.compact
   def __call__(self, tokens, target_point):
     """tokens [B,pred_len,C], target_point [B,2] -> [B,pred_len,2]."""
     B = tokens.shape[0]
-    tp = nn.Dense(tokens.shape[-1], name="encoder")(target_point)
-    x = tokens + tp[:, None]
-    gru = nn.RNN(nn.GRUCell(features=self.hidden_size), name="gru")
-    h = gru(x)
+    if self.target_point_size > 0:
+      h0 = nn.Dense(self.hidden_size, name="encoder")(target_point)
+    else:
+      h0 = jnp.zeros((B, self.hidden_size))
+    gru = nn.RNN(nn.GRUCell(features=self.hidden_size, name="gru"),
+                 return_carry=False)
+    h = gru(tokens, initial_carry=h0)
     deltas = nn.Dense(2, name="decoder")(h)
     return jnp.cumsum(deltas, axis=1)
 
@@ -143,25 +158,35 @@ def sine_position_embedding(h: int, w: int, channels: int,
 
 
 class TransformerDecoderLayer(nn.Module):
+  """POST-LN decoder layer — exactly torch's nn.TransformerDecoderLayer
+  (norm_first=False, dim_feedforward=2048) as constructed in
+  model.py:138-144, so converted checkpoints are drop-in.
+
+  Activation is RELU, not the GELU the reference requests: torch's
+  nn.TransformerDecoder deep-copies the layer and TransformerDecoderLayer.
+  __setstate__ resets any module-type activation (which lives in _modules,
+  not __dict__) to F.relu — verified empirically against torch 1.12/2.13,
+  so the reference's trained decoders actually ran relu."""
   d_model: int
   n_head: int
   dim_ff: int = 2048
+  activation: str = "relu"
 
   @nn.compact
   def __call__(self, tgt, memory, deterministic=True):
-    h = nn.LayerNorm(name="ln1")(tgt)
-    tgt = tgt + nn.MultiHeadDotProductAttention(
-        num_heads=self.n_head, name="self_attn")(h, h,
-                                                 deterministic=deterministic)
-    h = nn.LayerNorm(name="ln2")(tgt)
-    tgt = tgt + nn.MultiHeadDotProductAttention(
+    h = nn.MultiHeadDotProductAttention(
+        num_heads=self.n_head, name="self_attn")(
+        tgt, tgt, deterministic=deterministic)
+    tgt = nn.LayerNorm(epsilon=1e-5, name="ln1")(tgt + h)
+    h = nn.MultiHeadDotProductAttention(
         num_heads=self.n_head, name="cross_attn")(
-        h, memory, deterministic=deterministic)
-    h = nn.LayerNorm(name="ln3")(tgt)
-    h = nn.Dense(self.dim_ff, name="ff1")(h)
-    h = nn.relu(h)
+        tgt, memory, deterministic=deterministic)
+    tgt = nn.LayerNorm(epsilon=1e-5, name="ln2")(tgt + h)
+    h = nn.Dense(self.dim_ff, name="ff1")(tgt)
+    h = nn.relu(h) if self.activation == "relu" else \
+        nn.gelu(h, approximate=False)
     h = nn.Dense(self.d_model, name="ff2")(h)
-    return tgt + h
+    return nn.LayerNorm(epsilon=1e-5, name="ln3")(tgt + h)
 
 
 class TransformerDecoderJoin(nn.Module):
@@ -183,4 +208,4 @@ class TransformerDecoderJoin(nn.Module):
       tgt = TransformerDecoderLayer(self.d_model, self.n_head,
                                     name=f"layer{i}")(tgt, memory,
                                                       deterministic)
-    return nn.LayerNorm(name="ln_f")(tgt)
+    return nn.LayerNorm(epsilon=1e-5, name="ln_f")(tgt)

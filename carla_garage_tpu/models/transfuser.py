@@ -75,104 +75,113 @@ def micro_config() -> TransfuserConfig:
 
 
 class TransfuserBackbone(nn.Module):
+  """Dual RegNetY branches exchanged 4x through per-stage GPT fusion,
+  plus the reference's top-down BEV path (transfuser.py:16-257).
+
+  Returns (image_feature_grid [B,Hi/32,Wi/32,Cimg4] for perspective heads,
+  bev_grid [B,Hl/4,Wl/4,bev_ch], fused_lidar_final [B,Hl/32,Wl/32,Clid4]
+  — the transformer-decoder join memory map)."""
   cfg: TransfuserConfig
+  norm: str = "gn"
 
   @nn.compact
   def __call__(self, rgb, lidar_bev, velocity=None, deterministic=True):
-    """rgb [B,Hi,Wi,3], lidar_bev [B,Hl,Wl,C] ->
-    (img_feat /4 for perspective heads, bev_grid [B,Hb,Wb,64],
-    bottleneck [B,channels]).
-
-    Fusion is interleaved with the encoder stages exactly as in the
-    reference (transfuser.py:139-205): each fused map feeds the NEXT
-    encoder stage.
-    """
     from carla_garage_tpu.models.backbones import (RegNetYStage, RegNetYStem,
                                                    arch_spec)
     c = self.cfg
     ispec, lspec = arch_spec(c.image_arch), arch_spec(c.lidar_arch)
-    img = RegNetYStem(ispec["stem_w"], name="image_stem")(rgb)
-    lid = RegNetYStem(lspec["stem_w"], name="lidar_stem")(lidar_bev)
-    fused_img, fused_lid = [], []
+    img = RegNetYStem(ispec["stem_w"], norm=self.norm,
+                      name="image_stem")(rgb)
+    lid = RegNetYStem(lspec["stem_w"], norm=self.norm,
+                      name="lidar_stem")(lidar_bev)
     for i in range(4):
       img = RegNetYStage(ispec["depths"][i], ispec["widths"][i],
                          ispec["group_w"], ispec["se_ratio"],
-                         name=f"image_stage{i}")(img)
+                         norm=self.norm, name=f"image_stage{i}")(img)
       lid = RegNetYStage(lspec["depths"][i], lspec["widths"][i],
                          lspec["group_w"], lspec["se_ratio"],
-                         name=f"lidar_stage{i}")(lid)
+                         norm=self.norm, name=f"lidar_stage{i}")(lid)
       img, lid = FusionStage(
-          c.n_embd, c.img_anchors, c.lidar_anchors, c.n_head,
+          c.img_anchors, c.lidar_anchors, c.n_head,
           c.n_fusion_layers, name=f"fusion{i}")(img, lid, velocity,
                                                 deterministic)
-      fused_img.append(img)
-      fused_lid.append(lid)
 
-    # FPN top-down over the fused LiDAR pyramid -> BEV feature grid
-    # (transfuser.py:114-137)
-    top = nn.Conv(c.bev_features_channels, (1, 1), name="fpn_top")(
-        fused_lid[-1])
-    p = top
-    for i in (2, 1):
-      lat = nn.Conv(c.bev_features_channels, (1, 1),
-                    name=f"fpn_lat{i}")(fused_lid[i])
-      p = lat + jax.image.resize(p, lat.shape, method="bilinear")
-      p = nn.Conv(c.bev_features_channels, (3, 3), name=f"fpn_out{i}")(p)
-    bev_grid = p                                   # stride 8 w.r.t. BEV input
-
-    # bottleneck: global pooled fused features of both branches, added
-    # (config.add_features=True, transfuser.py:139-205)
-    img_pool = jnp.mean(fused_img[-1], axis=(1, 2))
-    lid_pool = jnp.mean(fused_lid[-1], axis=(1, 2))
-    bottleneck = nn.Dense(c.d_model, name="img_bottleneck")(img_pool) + \
-        nn.Dense(c.d_model, name="lidar_bottleneck")(lid_pool)
-    return fused_img[-1], bev_grid, bottleneck
+    # top-down BEV path (transfuser.py:114-137 top_down): only the final
+    # fused LiDAR map feeds it; two upsample+conv steps to lidar_res/4
+    B, Hl32, Wl32, _ = lid.shape
+    ch = c.bev_features_channels
+    p5 = nn.relu(nn.Conv(ch, (1, 1), name="c5_conv")(lid))
+    p5u = jax.image.resize(p5, (B, Hl32 * 2, Wl32 * 2, ch),
+                           method="bilinear")
+    p4 = nn.relu(nn.Conv(ch, (3, 3), name="up_conv5")(p5u))
+    Hb, Wb = c.lidar_h // 4, c.lidar_w // 4
+    p4u = jax.image.resize(p4, (B, Hb, Wb, ch), method="bilinear")
+    bev_grid = nn.relu(nn.Conv(ch, (3, 3), name="up_conv4")(p4u))
+    return img, bev_grid, lid
 
 
 class LidarCenterNet(nn.Module):
   """Umbrella driving model (model.py:24-836): backbone + planning +
-  auxiliary heads. Returns a dict of all outputs."""
+  auxiliary heads. Returns a dict of all outputs. Structure mirrors the
+  reference's transformer_decoder_join=True configuration so converted
+  torch checkpoints drop in component-by-component."""
   cfg: TransfuserConfig
+  norm: str = "gn"
 
   @nn.compact
   def __call__(self, rgb, lidar_bev, target_point, command_onehot,
                velocity, deterministic=True) -> Dict[str, Any]:
+    from carla_garage_tpu.models.heads import GRUWaypointsPredictorInterFuser
     c = self.cfg
-    img_feat, bev_grid, bottleneck = TransfuserBackbone(
-        c, name="backbone")(rgb, lidar_bev,
-                            velocity if c.use_velocity else None,
-                            deterministic)
+    img_feat, bev_grid, fused = TransfuserBackbone(
+        c, norm=self.norm, name="backbone")(
+        rgb, lidar_bev, None, deterministic)
     B, Hb, Wb, Cb = bev_grid.shape
+    _, Hf, Wf, _ = fused.shape
 
-    # memory tokens: BEV grid + sine pos emb, plus an extra-sensor token
-    # from velocity + one-hot command (model.py:299-369)
-    mem = nn.Dense(c.d_model, name="mem_proj")(bev_grid.reshape(B, -1, Cb))
-    mem = mem + sine_position_embedding(Hb, Wb, c.d_model)[None]
-    extra = nn.Dense(c.d_model, name="extra_sensor")(
-        jnp.concatenate([velocity[:, None], command_onehot], -1))
+    # join memory: change_channel 1x1 on the fused LiDAR map + sine pos
+    # (model.py:299-306), then the extra-sensor token (velocity norm +
+    # one-hot command -> MLP -> learned pos embed, :307-321)
+    mem = nn.Conv(c.d_model, (1, 1), name="change_channel")(fused)
+    mem = mem.reshape(B, Hf * Wf, c.d_model) + \
+        sine_position_embedding(Hf, Wf, c.d_model)[None]
+    from carla_garage_tpu.models.backbones import AffineNorm
+    vel_n = AffineNorm(name="velocity_norm")(velocity[:, None])
+    extra_in = jnp.concatenate([vel_n, command_onehot], -1)
+    extra = nn.relu(nn.Dense(128, name="extra_fc1")(extra_in))
+    extra = nn.relu(nn.Dense(c.d_model, name="extra_fc2")(extra))
+    extra = extra + self.param("extra_sensor_pos_embed",
+                               nn.initializers.zeros, (1, c.d_model))
     mem = jnp.concatenate([mem, extra[:, None]], 1)
 
+    # one shared decoder over [checkpoint queries ; speed query] (+ wp
+    # queries when enabled) — the reference runs self.join per query set
+    # with the same weights; concatenating is equivalent up to the absence
+    # of cross-query attention between sets, so keep sets separate.
     q = TransformerDecoderJoin(
         c.d_model, c.n_decoder_heads, c.n_decoder_layers,
         num_queries=c.checkpoint_len + 1, name="join")(mem, deterministic)
     checkpoint_tokens, speed_token = q[:, :-1], q[:, -1]
 
     out: Dict[str, Any] = {}
-    # route checkpoints: GRU over query tokens (model.py:325-369)
-    ckpt_in = nn.Dense(c.gru_hidden, name="ckpt_proj")(checkpoint_tokens)
-    gru = nn.RNN(nn.GRUCell(features=c.gru_hidden), name="checkpoint_gru")
-    h = gru(ckpt_in + nn.Dense(c.gru_hidden, name="ckpt_tp")(
-        target_point)[:, None])
-    out["pred_checkpoint"] = jnp.cumsum(
-        nn.Dense(2, name="checkpoint_decoder")(h), axis=1)
-    # target-speed classification (model.py:113-119)
+    # route checkpoints: InterFuser-style GRU over query tokens with the
+    # target point as initial hidden state (model.py:176-182, :839-867)
+    out["pred_checkpoint"] = GRUWaypointsPredictorInterFuser(
+        c.checkpoint_len, c.gru_hidden,
+        name="checkpoint_decoder")(checkpoint_tokens, target_point)
+    # target-speed MLP (model.py:118-120: Linear(256,256)+ReLU+Linear)
+    ts_h = nn.relu(nn.Dense(c.d_model, name="target_speed_fc1")(speed_token))
     out["pred_target_speed"] = nn.Dense(
-        c.target_speed_bins, name="target_speed_head")(speed_token)
+        c.target_speed_bins, name="target_speed_head")(ts_h)
 
     if c.use_wp_gru:
-      out["pred_wp"] = GRUWaypointsPredictorTransFuser(
-          c.pred_len, c.gru_hidden, name="wp_gru")(
-          nn.Dense(c.gru_hidden, name="wp_proj")(bottleneck), target_point)
+      # wp path through the SAME decoder weights with its own query set
+      # (model.py:151-175 wp_query + wp_decoder)
+      qwp = TransformerDecoderJoin(
+          c.d_model, c.n_decoder_heads, c.n_decoder_layers,
+          num_queries=c.pred_len, name="join_wp")(mem, deterministic)
+      out["pred_wp"] = GRUWaypointsPredictorInterFuser(
+          c.pred_len, c.gru_hidden, name="wp_decoder")(qwp, target_point)
 
     if c.use_semantic:
       out["pred_semantic"] = PerspectiveDecoder(
@@ -181,11 +190,13 @@ class LidarCenterNet(nn.Module):
       out["pred_depth"] = nn.sigmoid(PerspectiveDecoder(
           1, name="depth_decoder")(img_feat)[..., 0])
     if c.use_bev_semantic:
-      up = jax.image.resize(
-          bev_grid, (B, Hb * 2, Wb * 2, Cb), method="bilinear")
-      out["pred_bev_semantic"] = nn.Conv(
-          c.num_bev_semantic, (1, 1), name="bev_semantic_head")(
-          nn.relu(nn.Conv(Cb, (3, 3), name="bev_semantic_conv")(up)))
+      # Conv3x3+ReLU+Conv1x1 at grid res, then upsample to full lidar res
+      # (model.py:74-91 bev_semantic_decoder)
+      h = nn.relu(nn.Conv(Cb, (3, 3), name="bev_semantic_conv")(bev_grid))
+      h = nn.Conv(c.num_bev_semantic, (1, 1), name="bev_semantic_head")(h)
+      out["pred_bev_semantic"] = jax.image.resize(
+          h, (B, c.lidar_h, c.lidar_w, c.num_bev_semantic),
+          method="bilinear")
     if c.detect_boxes:
       out["pred_bb"] = CenterNetHead(
           c.num_bb_classes, num_dir_bins=c.num_dir_bins,

@@ -227,9 +227,12 @@ def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,
   wp, wp_valid = waypoint_labels(frames)
   speed_cls = target_speed_labels(frames, cfg)
   ckpt = checkpoint_labels(frames, scene, tcfg.checkpoint_len)
-  grid_hw = (tcfg.lidar_h // 8, tcfg.lidar_w // 8)
+  # detection grid = BEV feature grid at stride 4 (the reference's top_down
+  # output, bev_down_sample_factor=4, transfuser.py:114-137)
+  grid_hw = (tcfg.lidar_h // 4, tcfg.lidar_w // 4)
   # label stride: rendered BEV resolution -> bev-semantic head output size
-  bev_ds = cfg.sensor.lidar_resolution_height // (grid_hw[0] * 2)
+  # (the head now upsamples to the model's full lidar res, model.py:74-91)
+  bev_ds = cfg.sensor.lidar_resolution_height // tcfg.lidar_h
 
   def make_batch(f_idx, rng):
     rendered = render_frame_batch(cfg, maps, scene, frames, f_idx,
