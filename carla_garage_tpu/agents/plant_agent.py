@@ -1,10 +1,13 @@
 """PlanT closed-loop agent — learned object-level policy in the env step.
 
 Re-design of team_code/plant_agent.py:28-229: extracts privileged
-object-level tokens (vehicles, walkers, route segments) in the ego frame,
-runs the PlanT transformer, and converts waypoint predictions to controls
-with the PID controllers — all inside the jitted sim step, so a whole
-benchmark of PlanT episodes runs as one XLA program.
+object-level tokens (nearest vehicles / walkers / red lights / stop signs
++ route points, zero-padded like plant_agent.py:142), computes the
+privileged hazard flags PlanT consumes as inputs (the reference agent
+inherits them from its DataAgent/autopilot parent), runs the PlanT
+transformer, and converts predictions to controls with the PID
+controllers — all inside the jitted sim step, so a whole benchmark of
+PlanT episodes runs as one XLA program.
 """
 
 from __future__ import annotations
@@ -16,22 +19,17 @@ from flax import struct
 from carla_garage_tpu.agents.controllers import (control_pid,
                                                  control_pid_direct)
 from carla_garage_tpu.config import GlobalConfig
-from carla_garage_tpu.models.plant import PlanT, PlanTConfig
+from carla_garage_tpu.maps.town_map import Layer
+from carla_garage_tpu.models.plant import ObjType, PlanT, PlanTConfig
 from carla_garage_tpu.sim import geometry as geo
 from carla_garage_tpu.sim.expert import (Control, _dense_planner_params,
                                          _sparse_planner_params,
                                          _sparse_seg_len)
 from carla_garage_tpu.sim.route_planner import planner_step, route_lookup
-from carla_garage_tpu.structs import PIDState, PlannerState, Scene, SimState
+from carla_garage_tpu.structs import (LightState, PIDState, PlannerState,
+                                      Scene, SimState)
 
-
-class TokenType:
-  VEHICLE = 0
-  WALKER = 1
-  LIGHT = 2
-  STOP = 3
-  ROUTE = 4
-  OTHER = 5
+TokenType = ObjType      # backward-compat alias
 
 
 @struct.dataclass
@@ -40,6 +38,7 @@ class PlanTAgentState:
   planner_sparse: PlannerState
   pid_turn: PIDState
   pid_speed: PIDState
+  cleared_stop_signs: jnp.ndarray    # [B,S] bool (autopilot.py:1013-1070)
 
 
 def plant_agent_reset(cfg: GlobalConfig, B: int) -> PlanTAgentState:
@@ -49,64 +48,125 @@ def plant_agent_reset(cfg: GlobalConfig, B: int) -> PlanTAgentState:
       planner_sparse=PlannerState(idx=jnp.zeros((B,), jnp.int32),
                                   is_last=jnp.zeros((B,), bool)),
       pid_turn=PIDState.create((B,), cfg.expert.turn_n),
-      pid_speed=PIDState.create((B,), cfg.expert.speed_n))
+      pid_speed=PIDState.create((B,), cfg.expert.speed_n),
+      cleared_stop_signs=jnp.zeros((B, cfg.sim.max_stop_signs), bool))
 
 
-def extract_tokens(cfg: GlobalConfig, pcfg: PlanTConfig, scene: Scene,
-                   state: SimState, dense_idx: jnp.ndarray):
-  """Privileged object tokens in the ego frame (plant_agent.py inputs).
+def privileged_flags(cfg: GlobalConfig, maps, scene: Scene, state: SimState,
+                     cleared_stops: jnp.ndarray, dense_idx: jnp.ndarray):
+  """light_hazard / stop_hazard / junction flags like the expert computes
+  them (autopilot.py:944-1070) — PlanT gets these as INPUTS.
 
-  Returns (tokens [B,T,A], types [B,T], valid [B,T]) with
-  T = V + W + num_route_segments, A = 7 attributes
-  (x, y, extent_x, extent_y, yaw, speed, brake)."""
+  Returns (light [B], stop [B], junction [B], new_cleared [B,S])."""
+  e, s = cfg.expert, cfg.sim
+  ego = state.ego
+  ego_e = jnp.array([s.ego_extent_x, s.ego_extent_y])
+  # forward probe box ~ braking distance (a light affects us if our near
+  # future path crosses its stop line)
+  fwd = jnp.stack([jnp.cos(ego.yaw), jnp.sin(ego.yaw)], -1)
+  reach = 2.0 + 0.6 * ego.speed
+  probe_c = ego.pos + fwd * reach[:, None]
+  probe_e = jnp.stack([reach + s.ego_extent_x,
+                       jnp.full_like(reach, s.ego_extent_y)], -1)
+
+  lights = scene.lights
+  lstate = lights.state_at(state.time_s)
+  facing = jnp.abs(geo.normalize_angle(
+      lights.yaw - ego.yaw[:, None])) < 0.8
+  lnear = lights.valid & facing & (jnp.linalg.norm(
+      lights.pos - ego.pos[:, None], axis=-1) < e.light_radius)
+  hit = geo.obb_intersect(probe_c[:, None], ego.yaw[:, None], probe_e[:, None],
+                          lights.pos, lights.yaw, lights.extent)
+  hit |= geo.obb_intersect(ego.pos[:, None], ego.yaw[:, None],
+                           ego_e[None, None],
+                           lights.pos, lights.yaw, lights.extent)
+  is_red = (lstate == LightState.RED) | (lstate == LightState.YELLOW)
+  light = jnp.any(lnear & hit & is_red, -1)
+
+  stops = scene.stops
+  sfacing = jnp.abs(geo.normalize_angle(
+      stops.yaw - ego.yaw[:, None])) < 0.8
+  snear = stops.valid & sfacing & (jnp.linalg.norm(
+      stops.pos - ego.pos[:, None], axis=-1) < e.light_radius)
+  st_hit = geo.obb_intersect(ego.pos[:, None], ego.yaw[:, None],
+                             ego_e[None, None],
+                             stops.pos, stops.yaw, stops.extent) & snear
+  st_probe = geo.obb_intersect(probe_c[:, None], ego.yaw[:, None],
+                               probe_e[:, None],
+                               stops.pos, stops.yaw, stops.extent) & snear
+  uncleared = ~cleared_stops
+  moving = ego.speed > 1e-2
+  stop = jnp.any((st_hit | st_probe) & uncleared, -1) & moving
+  newly_cleared = st_hit & uncleared & ~moving[:, None]
+  new_cleared = (cleared_stops | newly_cleared) & snear
+
+  junction = maps.sample(scene.town_id[:, None], Layer.JUNCTION,
+                         ego.pos[:, None])[:, 0]
+  R = scene.route.points.shape[1]
+  route_junc = jnp.take_along_axis(
+      scene.route.is_junction,
+      jnp.clip(dense_idx, 0, R - 1)[:, None], 1)[:, 0]
+  return light.astype(jnp.float32), stop.astype(jnp.float32), \
+      (junction | route_junc).astype(jnp.float32), new_cleared
+
+
+def extract_objects(cfg: GlobalConfig, pcfg: PlanTConfig, scene: Scene,
+                    state: SimState):
+  """Nearest-first object boxes in the ego frame (plant_agent.py:120-154):
+  vehicles, walkers, red/yellow lights, stop signs; zero-padded (type 0)
+  to max_objects. Returns (boxes [B,O,7], types [B,O])."""
   ego = state.ego
   veh, wlk = state.vehicles, state.walkers
-  B, V = veh.yaw.shape
-  W = wlk.yaw.shape[1]
+  B = ego.yaw.shape[0]
 
-  def obj_tokens(pos, yaw, extent, speed, brake, valid):
+  def rel_attrs(pos, yaw, extent, speed, brake):
     rel = geo.world_to_ego(pos, ego.pos[:, None], ego.yaw[:, None])
     ryaw = geo.normalize_angle(yaw - ego.yaw[:, None])
-    d = jnp.linalg.norm(rel, axis=-1)
-    ok = valid & (d < cfg.expert.detection_radius)
-    attrs = jnp.stack([rel[..., 0], rel[..., 1], extent[..., 0],
-                       extent[..., 1], ryaw, speed, brake], -1)
-    return jnp.where(ok[..., None], attrs, 0.0), ok
+    return jnp.stack([rel[..., 0], rel[..., 1], extent[..., 0],
+                      extent[..., 1], ryaw, speed, brake], -1)
 
-  v_tok, v_ok = obj_tokens(veh.pos, veh.yaw, veh.extent, veh.speed,
-                           veh.control[..., 2], veh.valid)
-  w_tok, w_ok = obj_tokens(wlk.pos, wlk.yaw, wlk.extent, wlk.speed,
-                           jnp.zeros((B, W)), wlk.valid)
-
-  # route segments: pairs of consecutive forward route points
-  # (plant.py route tokens; num_route_points config.py:190)
-  n_seg = pcfg.max_tokens - V - W
-  n_pts = 2 * n_seg
-  offs = jnp.arange(n_pts) * 2               # stride-2 look-ahead (~2 m apart)
-  q = dense_idx[:, None] + offs[None]
-  R = scene.route.points.shape[1]
-  qc = jnp.clip(q, 0, R - 1)
-  pts = jnp.take_along_axis(scene.route.points, qc[..., None], 1)   # [B,n,2]
-  rel_pts = geo.world_to_ego(pts, ego.pos[:, None], ego.yaw[:, None])
-  p0 = rel_pts[:, 0::2][:, :n_seg]
-  p1 = rel_pts[:, 1::2][:, :n_seg]
-  mid = (p0 + p1) / 2.0
-  d = p1 - p0
-  seg_yaw = jnp.arctan2(d[..., 1], d[..., 0])
-  seg_len = jnp.linalg.norm(d, axis=-1)
-  in_route = (q[:, 1::2][:, :n_seg] < scene.route.num_valid[:, None])
-  r_tok = jnp.stack([mid[..., 0], mid[..., 1], seg_len / 2.0,
-                     jnp.full_like(seg_len, 1.0), seg_yaw,
-                     jnp.zeros_like(seg_len), jnp.zeros_like(seg_len)], -1)
-  r_tok = jnp.where(in_route[..., None], r_tok, 0.0)
-
-  tokens = jnp.concatenate([v_tok, w_tok, r_tok], 1)
+  lights, stops = scene.lights, scene.stops
+  lstate = lights.state_at(state.time_s)
+  l_red = ((lstate == LightState.RED) | (lstate == LightState.YELLOW)) & \
+      lights.valid
+  zeros_l = jnp.zeros_like(lights.yaw)
+  zeros_s = jnp.zeros_like(stops.yaw)
+  attrs = jnp.concatenate([
+      rel_attrs(veh.pos, veh.yaw, veh.extent, veh.speed,
+                veh.control[..., 2]),
+      rel_attrs(wlk.pos, wlk.yaw, wlk.extent, wlk.speed,
+                jnp.zeros_like(wlk.speed)),
+      rel_attrs(lights.pos, lights.yaw, lights.extent, zeros_l, zeros_l),
+      rel_attrs(stops.pos, stops.yaw, stops.extent, zeros_s, zeros_s)], 1)
+  V, W = veh.yaw.shape[1], wlk.yaw.shape[1]
+  L, S = lights.yaw.shape[1], stops.yaw.shape[1]
   types = jnp.concatenate([
-      jnp.full((B, V), TokenType.VEHICLE, jnp.int32),
-      jnp.full((B, W), TokenType.WALKER, jnp.int32),
-      jnp.full((B, n_seg), TokenType.ROUTE, jnp.int32)], 1)
-  valid = jnp.concatenate([v_ok, w_ok, in_route], 1)
-  return tokens, types, valid
+      jnp.full((B, V), ObjType.VEHICLE, jnp.int32),
+      jnp.full((B, W), ObjType.WALKER, jnp.int32),
+      jnp.full((B, L), ObjType.LIGHT, jnp.int32),
+      jnp.full((B, S), ObjType.STOP, jnp.int32)], 1)
+  valid = jnp.concatenate([veh.valid, wlk.valid, l_red, stops.valid], 1)
+  d = jnp.linalg.norm(attrs[..., :2], axis=-1)
+  valid &= d < 32.0
+  order = jnp.argsort(jnp.where(valid, d, jnp.inf), axis=-1)
+  order = order[:, :pcfg.max_objects]
+  sel_attr = jnp.take_along_axis(attrs, order[..., None], 1)
+  sel_valid = jnp.take_along_axis(valid, order, 1)
+  sel_types = jnp.take_along_axis(types, order, 1)
+  boxes = jnp.where(sel_valid[..., None], sel_attr, 0.0)
+  box_types = jnp.where(sel_valid, sel_types, ObjType.VEHICLE)
+  return boxes, box_types
+
+
+def extract_route(pcfg: PlanTConfig, scene: Scene, state: SimState,
+                  dense_idx: jnp.ndarray):
+  """Route tokens: num_route_points dense points at 2 m spacing."""
+  ego = state.ego
+  R = scene.route.points.shape[1]
+  offs = jnp.arange(pcfg.num_route_points) * 2
+  q = jnp.clip(dense_idx[:, None] + offs[None], 0, R - 1)
+  pts = jnp.take_along_axis(scene.route.points, q[..., None], 1)
+  return geo.world_to_ego(pts, ego.pos[:, None], ego.yaw[:, None])
 
 
 def make_plant_policy(model: PlanT, params, pcfg: PlanTConfig,
@@ -137,9 +197,12 @@ def make_plant_policy(model: PlanT, params, pcfg: PlanTConfig,
         scene.route.sparse_num_valid, pl_sparse.idx)
     target_point = geo.world_to_ego(tp_world, ego.pos, ego.yaw)
 
-    tokens, types, valid = extract_tokens(cfg, pcfg, scene, state,
-                                          pl_dense.idx)
-    out = model.apply(params, tokens, types, valid, target_point)
+    boxes, box_types = extract_objects(cfg, pcfg, scene, state)
+    route = extract_route(pcfg, scene, state, pl_dense.idx)
+    light, stop, junction, cleared = privileged_flags(
+        cfg, maps, scene, state, ag.cleared_stop_signs, pl_dense.idx)
+    out = model.apply(params, boxes, box_types, route, light, stop,
+                      junction, ego.speed)
     if direct:
       probs = jax.nn.softmax(out["pred_target_speed"])
       ts = jnp.sum(probs * target_speeds, -1)
@@ -155,7 +218,8 @@ def make_plant_policy(model: PlanT, params, pcfg: PlanTConfig,
           ag.pid_turn, ag.pid_speed, out["pred_wp"], ego.speed, cfg)
     new_ag = PlanTAgentState(planner_dense=pl_dense,
                              planner_sparse=pl_sparse,
-                             pid_turn=pt2, pid_speed=ps2)
+                             pid_turn=pt2, pid_speed=ps2,
+                             cleared_stop_signs=cleared)
     return Control(steer=steer, throttle=throttle, brake=brake), \
         {"agent": new_ag}
 

@@ -47,15 +47,23 @@ class SensorAgentState:
   pid_turn: PIDState
   pid_speed: PIDState
   prev_control: jnp.ndarray      # [B,3] steer/throttle/brake last applied
-  prev_lidar: jnp.ndarray        # [B,N,3] previous half-sweep points (ego
-  prev_lidar_valid: jnp.ndarray  # frame of the PREVIOUS tick) + mask
-  prev_pose: jnp.ndarray         # [B,3] filtered (x, y, yaw) of prev tick
+  prev_lidar: jnp.ndarray        # [B,K,N,3] buffer of past half-sweeps
+  prev_lidar_valid: jnp.ndarray  # [B,K,N] (K = 1 + extra temporal sweeps)
+  prev_pose: jnp.ndarray         # [B,K,3] filtered (x,y,yaw) per sweep
   stuck_count: jnp.ndarray       # [B] int32
   force_move: jnp.ndarray        # [B] int32 remaining creep frames
+  # detected-stop-sign controller (sensor_agent.py:617-657): one tracked
+  # stop-sign detection in the CURRENT ego frame + the post-clear cooldown
+  stop_box: jnp.ndarray          # [B,5] x,y,ex,ey,yaw
+  stop_box_valid: jnp.ndarray    # [B] bool
+  clear_stop: jnp.ndarray        # [B] int32 cooldown ticks
 
 
-def sensor_agent_reset(cfg: GlobalConfig, B: int,
-                       n_lidar: int) -> SensorAgentState:
+def sensor_agent_reset(cfg: GlobalConfig, B: int, n_lidar: int,
+                       seq_len: int = 1) -> SensorAgentState:
+  """seq_len > 1 keeps a temporal buffer of that many past half-sweeps
+  (sensor_agent.py:358-431 lidar buffer semantics)."""
+  K = max(seq_len, 1)
   return SensorAgentState(
       ukf=ukf_reset(B),
       planner_dense=PlannerState(idx=jnp.zeros((B,), jnp.int32),
@@ -65,11 +73,14 @@ def sensor_agent_reset(cfg: GlobalConfig, B: int,
       pid_turn=PIDState.create((B,), cfg.expert.turn_n),
       pid_speed=PIDState.create((B,), cfg.expert.speed_n),
       prev_control=jnp.zeros((B, 3)),
-      prev_lidar=jnp.zeros((B, n_lidar, 3)),
-      prev_lidar_valid=jnp.zeros((B, n_lidar), bool),
-      prev_pose=jnp.zeros((B, 3)),
+      prev_lidar=jnp.zeros((B, K, n_lidar, 3)),
+      prev_lidar_valid=jnp.zeros((B, K, n_lidar), bool),
+      prev_pose=jnp.zeros((B, K, 3)),
       stuck_count=jnp.zeros((B,), jnp.int32),
-      force_move=jnp.zeros((B,), jnp.int32))
+      force_move=jnp.zeros((B,), jnp.int32),
+      stop_box=jnp.zeros((B, 5)),
+      stop_box_valid=jnp.zeros((B,), bool),
+      clear_stop=jnp.zeros((B,), jnp.int32))
 
 
 def command_onehot(cmd: jnp.ndarray) -> jnp.ndarray:
@@ -80,7 +91,10 @@ def command_onehot(cmd: jnp.ndarray) -> jnp.ndarray:
 def make_transfuser_policy(model: LidarCenterNet, params,
                            tcfg: TransfuserConfig, camera_grid,
                            lidar_grid_front, lidar_grid_rear,
-                           direct: bool = True, map_track: bool = False):
+                           direct: bool = True, map_track: bool = False,
+                           uncertainty_weight: bool = True,
+                           brake_threshold: float = 0.5,
+                           stop_control: bool = False):
   """PolicyFn: full sensor pipeline + model + control, jitted in the step.
 
   direct=True uses the classified-target-speed + checkpoint-angle
@@ -89,6 +103,16 @@ def make_transfuser_policy(model: LidarCenterNet, params,
 
   map_track=True replaces the predicted path with the HD-map route
   checkpoint (the MapAgent variant, map_agent.py:1-60).
+
+  uncertainty_weight / brake_threshold mirror the published operating
+  points (sensor_agent.py:544-552; README.md:82-84 —
+  UNCERTAINTY_THRESHOLD=0.33 is the Longest6 point): weighted expectation
+  of the speed classes with a brake-probability override, else argmax.
+
+  stop_control=True enables the detected-stop-sign controller
+  (sensor_agent.py:617-657, the LAV operating point STOP_CONTROL=1): the
+  agent tracks its own class-3 CenterNet detection and forces a full stop
+  inside it before proceeding.
 
   `params` may be a single param pytree or a LIST of pytrees — an ensemble
   whose outputs are averaged (sensor_agent.py:114-131, :487-495).
@@ -136,18 +160,26 @@ def make_transfuser_policy(model: LidarCenterNet, params,
     even = (state.tick % 2 == 0)[:, None]
     pts_now = jnp.where(even[..., None], front[0], rear[0])
     val_now = jnp.where(even, front[1], rear[1])
-    # realign the previous half sweep into the current ego frame
-    # (transfuser_utils.align_lidar:116-131 via the filtered pose log)
+    # realign the buffered past half sweeps into the current ego frame
+    # (transfuser_utils.align_lidar:116-131 via the filtered pose log;
+    # K > 1 is the temporal-LiDAR buffer of sensor_agent.py:358-431)
+    K = ag.prev_lidar.shape[1]
     prev_pts_world = geo.ego_to_world(ag.prev_lidar[..., :2],
-                                      ag.prev_pose[:, None, :2],
-                                      ag.prev_pose[:, 2][:, None])
-    prev_in_cur = geo.world_to_ego(prev_pts_world, pos_f[:, None],
-                                   yaw_f[:, None])
+                                      ag.prev_pose[:, :, None, :2],
+                                      ag.prev_pose[:, :, 2][:, :, None])
+    prev_in_cur = geo.world_to_ego(prev_pts_world, pos_f[:, None, None],
+                                   yaw_f[:, None, None])
     prev_pts = jnp.concatenate([prev_in_cur, ag.prev_lidar[..., 2:]], -1)
-    merged_pts = jnp.concatenate([pts_now, prev_pts], 1)
-    merged_val = jnp.concatenate([val_now, ag.prev_lidar_valid], 1)
+    # newest buffered sweep merges with the live one (the standard 2-half
+    # merge); older sweeps voxelize into extra channel pairs
+    merged_pts = jnp.concatenate([pts_now, prev_pts[:, 0]], 1)
+    merged_val = jnp.concatenate([val_now, ag.prev_lidar_valid[:, 0]], 1)
     lidar_bev = jax.vmap(lambda p, v: voxelize_matmul(p, v, cfg))(
         merged_pts, merged_val)                       # [B,2,H,W]
+    if K > 1:
+      older = [jax.vmap(lambda p, v: voxelize_matmul(p, v, cfg))(
+          prev_pts[:, k], ag.prev_lidar_valid[:, k]) for k in range(1, K)]
+      lidar_bev = jnp.concatenate([lidar_bev] + older, 1)
     lidar_bev = jnp.transpose(lidar_bev, (0, 2, 3, 1))
 
     # --- model forward (ensemble-averaged, inside the env step) ---
@@ -159,10 +191,11 @@ def make_transfuser_policy(model: LidarCenterNet, params,
     # --- control (sensor_agent.py:544-557 + model.py:461-554) ---
     if direct:
       probs = jax.nn.softmax(out["pred_target_speed"])
-      ts = jnp.sum(probs * target_speeds, -1)         # expectation; the
-      # reference also supports argmax/uncertainty thresholding
-      brake_conf = probs[:, 0] > 0.5                  # brake_uncertainty
-      ts = jnp.where(brake_conf, 0.0, ts)
+      if uncertainty_weight:
+        ts = jnp.sum(probs * target_speeds, -1)       # expectation
+        ts = jnp.where(probs[:, 0] > brake_threshold, 0.0, ts)
+      else:
+        ts = target_speeds[jnp.argmax(probs, -1)]
       if map_track:
         # MAP track: aim at the HD-map route point ahead (MapAgent)
         aim_world, _ = jax.vmap(
@@ -190,15 +223,71 @@ def make_transfuser_policy(model: LidarCenterNet, params,
     brake = jnp.where(creeping, 0.0, brake)
     stuck = jnp.where(creeping, 0, stuck)
 
+    # --- detected-stop-sign controller (sensor_agent.py:617-657) ---
+    stop_box, stop_valid, clear_stop = ag.stop_box, ag.stop_box_valid, \
+        ag.clear_stop
+    if stop_control and "pred_bb" in out:
+      from carla_garage_tpu.ops.detection import topk_decode
+      grid_h = out["pred_bb"]["heatmap"].shape[1]
+      ppm_grid = grid_h / (cfg.sensor.max_y - cfg.sensor.min_y)
+      det = topk_decode(out["pred_bb"], ppm=ppm_grid, k=20,
+                        min_x=cfg.sensor.min_x, min_y=cfg.sensor.min_y)
+      # transform the carried box into the current ego frame via the
+      # filtered pose delta (bb_buffer realignment)
+      prev_p = ag.prev_pose[:, 0]
+      bw = geo.ego_to_world(stop_box[:, :2], prev_p[:, :2], prev_p[:, 2])
+      bcur = geo.world_to_ego(bw, pos_f, yaw_f)
+      byaw = geo.normalize_angle(stop_box[:, 4] + prev_p[:, 2] - yaw_f)
+      stop_box = jnp.concatenate([bcur, stop_box[:, 2:4],
+                                  byaw[:, None]], -1)
+      # adopt the best fresh class-3 detection when not tracking one
+      is_stop = (det["cls"] == 3) & (det["score"] > 0.3)
+      d2 = jnp.where(is_stop, det["x"] ** 2 + det["y"] ** 2, jnp.inf)
+      bi = jnp.argmin(d2, -1)
+      take = lambda a: jnp.take_along_axis(a, bi[:, None], 1)[:, 0]
+      fresh = jnp.stack([take(det["x"]), take(det["y"]),
+                         take(det["l"]) / 2, take(det["w"]) / 2,
+                         take(det["yaw"])], -1)
+      has_fresh = jnp.isfinite(jnp.take_along_axis(d2, bi[:, None], 1)[:, 0])
+      adopt = has_fresh & ~stop_valid
+      stop_box = jnp.where(adopt[:, None], fresh, stop_box)
+      stop_valid = stop_valid | adopt
+      # drop once it leaves the observable range
+      stop_valid &= jnp.linalg.norm(stop_box[:, :2], axis=-1) < \
+          cfg.sensor.max_x
+      # intersect test against the ego box at the origin
+      ego_e = jnp.array([cfg.sim.ego_extent_x, cfg.sim.ego_extent_y])
+      inter = geo.obb_intersect(
+          jnp.zeros_like(stop_box[:, :2])[:, None],
+          jnp.zeros_like(stop_box[:, 4])[:, None], ego_e[None, None],
+          stop_box[None, :, :2].swapaxes(0, 1),
+          stop_box[None, :, 4].swapaxes(0, 1),
+          jnp.maximum(stop_box[None, :, 2:4].swapaxes(0, 1), 0.5))[:, 0]
+      active = stop_valid & inter & (clear_stop <= 0)
+      must_stop = active & (ego.speed > 0.01)
+      cleared = active & (ego.speed <= 0.01)
+      stop_valid &= ~cleared
+      clear_stop = jnp.where(cleared, 100,
+                             jnp.maximum(clear_stop - 1, 0))
+      throttle = jnp.where(must_stop, 0.0, throttle)
+      brake = jnp.where(must_stop, 1.0, brake)
+
     control = Control(steer=steer, throttle=throttle, brake=brake)
+    new_pose = jnp.stack([pos_f[:, 0], pos_f[:, 1], yaw_f], -1)
     new_ag = SensorAgentState(
         ukf=ukf, planner_dense=pl_dense, planner_sparse=pl_sparse,
         pid_turn=pt2, pid_speed=ps2,
         prev_control=jnp.stack([steer, throttle, brake], -1),
-        prev_lidar=pts_now, prev_lidar_valid=val_now,
-        prev_pose=jnp.stack([pos_f[:, 0], pos_f[:, 1], yaw_f], -1),
+        prev_lidar=jnp.concatenate(
+            [pts_now[:, None], ag.prev_lidar[:, :-1]], 1),
+        prev_lidar_valid=jnp.concatenate(
+            [val_now[:, None], ag.prev_lidar_valid[:, :-1]], 1),
+        prev_pose=jnp.concatenate(
+            [new_pose[:, None], ag.prev_pose[:, :-1]], 1),
         stuck_count=stuck.astype(jnp.int32),
-        force_move=force.astype(jnp.int32))
+        force_move=force.astype(jnp.int32),
+        stop_box=stop_box, stop_box_valid=stop_valid,
+        clear_stop=clear_stop.astype(jnp.int32))
     return control, {"agent": new_ag}
 
   return policy

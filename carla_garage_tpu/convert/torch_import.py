@@ -64,11 +64,14 @@ def layernorm(sd, prefix):
 
 def batchnorm_scale_bias(sd, prefix, eps=1e-5):
   """Inference-mode BatchNorm as an affine (scale, bias) pair:
-  y = (x - mean) / sqrt(var + eps) * gamma + beta."""
-  gamma = t2n(sd[_k(prefix, f"weight")])
-  beta = t2n(sd[_k(prefix, f"bias")])
-  mean = t2n(sd[_k(prefix, f"running_mean")])
-  var = t2n(sd[_k(prefix, f"running_var")])
+  y = (x - mean) / sqrt(var + eps) * gamma + beta. Handles affine=False
+  (gamma=1, beta=0 — e.g. the reference's velocity_normalization)."""
+  mean = t2n(sd[_k(prefix, "running_mean")])
+  var = t2n(sd[_k(prefix, "running_var")])
+  gamma = t2n(sd[_k(prefix, "weight")]) if _k(prefix, "weight") in sd \
+      else np.ones_like(mean)
+  beta = t2n(sd[_k(prefix, "bias")]) if _k(prefix, "bias") in sd \
+      else np.zeros_like(mean)
   scale = gamma / np.sqrt(var + eps)
   return {"scale": scale, "bias": beta - mean * scale}
 
@@ -234,6 +237,63 @@ def convert_transformer_decoder(sd, prefix, n_layers, n_head,
         sd, _k(prefix, f"layers.{i}"), n_head)
   if queries_key is not None:
     out["queries"] = t2n(sd[queries_key])
+  return out
+
+
+def convert_bert_encoder(sd, prefix, n_layers, n_heads):
+  """torch transformers BertModel -> models.bert.BertEncoder params.
+  prefix: the BertModel's position in the state_dict (e.g. 'model' in the
+  reference PlanT)."""
+  out = {
+      "position_embeddings": t2n(
+          sd[_k(prefix, "embeddings.position_embeddings.weight")]),
+      "token_type_embeddings": t2n(
+          sd[_k(prefix, "embeddings.token_type_embeddings.weight")]),
+      "emb_ln": layernorm(sd, _k(prefix, "embeddings.LayerNorm")),
+  }
+  for i in range(n_layers):
+    lp = _k(prefix, f"encoder.layer.{i}")
+    out[f"layer{i}"] = {
+        "attn": mha_separate(sd, f"{lp}.attention.self.query",
+                             f"{lp}.attention.self.key",
+                             f"{lp}.attention.self.value",
+                             f"{lp}.attention.output.dense", n_heads),
+        "attn_ln": layernorm(sd, f"{lp}.attention.output.LayerNorm"),
+        "intermediate": linear(sd, f"{lp}.intermediate.dense"),
+        "output": linear(sd, f"{lp}.output.dense"),
+        "output_ln": layernorm(sd, f"{lp}.output.LayerNorm"),
+    }
+  return out
+
+
+def convert_plant(sd, n_layers=8, n_heads=8, num_types=6,
+                  num_attributes=7):
+  """reference plant.PlanT state_dict -> models.plant.PlanT params.
+
+  Covers the BERT encoder, token/type embeddings, forecast heads, the
+  wp GRU head, velocity branch, target-speed MLP and the checkpoint
+  decoder (plant.py:26-180 module layout)."""
+  out = {
+      "bert": convert_bert_encoder(sd, "model", n_layers, n_heads),
+      "cls_emb": t2n(sd["cls_emb"]),
+      "tok_emb": linear(sd, "tok_emb"),
+      "wp_head": linear(sd, "wp_head"),
+      "wp_gru": gru_cell(sd, "wp_decoder"),
+      "wp_output": linear(sd, "wp_output"),
+      "target_speed_fc1": linear(sd, "target_speed_network.0"),
+      "target_speed_head": linear(sd, "target_speed_network.2"),
+      "checkpoint_decoder": convert_gru_interfuser(
+          sd, "checkpoint_decoder", target_point_size=0),
+  }
+  for i in range(num_types):
+    out[f"obj_token{i}"] = t2n(sd[f"obj_token.{i}"])
+    out[f"obj_emb{i}"] = linear(sd, f"obj_emb.{i}")
+  for i in range(num_attributes):
+    out[f"forecast_head{i}"] = linear(sd, f"heads.{i}")
+  if "velocity_encoder.0.weight" in sd:
+    out["vel_fc1"] = linear(sd, "velocity_encoder.0")
+    out["vel_fc2"] = linear(sd, "velocity_encoder.2")
+    out["velocity_norm"] = batchnorm_scale_bias(sd, "velocity_normalization")
   return out
 
 

@@ -57,12 +57,14 @@ def _records(cfg, scene, state, route_ids, town):
       status += " - Agent timed out"
     elif bool(cr.deviated[i]):
       status += " - Agent deviated from the route"
+    from carla_garage_tpu.eval.analysis import events_from_criteria
     recs.append({
         "route_id": rid,
         "town": town,
         "index": i,
         "status": status,
         "infractions": {k: int(counts[k][i]) for k in INFRACTION_KEYS},
+        "events": events_from_criteria(cr, i),
         "scores": {
             "score_route": float(scores.score_route[i]),
             "score_penalty": float(scores.score_penalty[i]),
@@ -127,16 +129,20 @@ def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
                         policy=expert_step, assets_root=None,
                         use_scenarios: bool = True,
                         single_batch: bool = False,
-                        verbose: bool = True):
+                        verbose: bool = True,
+                        analysis_dir: str | None = None):
   """Run a real benchmark's routes inside the TPU sim.
 
-  use_scenarios attaches crossing walkers + control-loss disturbances at
-  the benchmark's published scenario trigger points
-  (all_towns_traffic_scenarios_public.json).
+  use_scenarios attaches all 7 scenario types (annotations +
+  geometry-synthesized triggers, sim/scenario_wiring.py).
 
   single_batch=True runs ALL towns' routes as ONE mixed-town batch — one
   compile, one lax.scan for the whole benchmark (the maximal contrast to
-  the reference's 108 SLURM jobs). Needs HBM for the stacked rasters."""
+  the reference's 108 SLURM jobs). Needs HBM for the stacked rasters.
+
+  analysis_dir records decimated trajectories and writes the result
+  parser's artifacts there: per-town infraction maps + replay clips
+  (tools/result_parser.py:881-975 analog, eval/analysis.py)."""
   cfg = cfg or (longest6_config() if benchmark == "longest6"
                 else GlobalConfig())
   root = assets_root or importer.DEFAULT_ASSETS
@@ -182,15 +188,54 @@ def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
     if use_scenarios:
       scene = scene.replace(scenarios=specs)
       state = state.replace(scenario=scen_state)
-    final = rollout_chunked(cfg, maps, lanes, scene, state, max_ticks,
-                            chunk=1024)
+    if analysis_dir:
+      final, traj = _rollout_chunked_recorded(
+          cfg, maps, lanes, scene, state, max_ticks, policy=policy)
+    else:
+      final = rollout_chunked(cfg, maps, lanes, scene, state, max_ticks,
+                              chunk=1024, policy=policy)
     recs = _records(cfg, scene, final, ids, town_name)
     records += recs
+    if analysis_dir:
+      from carla_garage_tpu.eval.analysis import write_analysis
+      tw = town_adapter
+      write_analysis(
+          analysis_dir,
+          {town_name: (np.asarray(tw.raster), np.asarray(tw.world_offset),
+                       float(tw.ppm))},
+          {town_name: [(r["index"], r["events"]) for r in recs]},
+          {town_name: [ep.dense for ep in compiled]},
+          {town_name: traj})
     if verbose:
       ds = np.mean([x["scores"]["score_composed"] for x in recs])
       print(f"{town_name}: {len(recs)} episodes, DS {ds:.1f}, "
             f"{time.time() - t0:.0f}s", flush=True)
   return records, aggregate(records)
+
+
+def _rollout_chunked_recorded(cfg, maps, lanes, scene, state, max_ticks,
+                              chunk: int = 1000, every: int = 10,
+                              policy=expert_step):
+  """Chunked rollout that also concatenates decimated trajectory logs
+  (host side), with the same early exit as rollout_chunked."""
+  import jax
+  from carla_garage_tpu.sim.episode import rollout_recorded
+
+  @jax.jit
+  def run(maps_, lanes_, scene_, state_):
+    return rollout_recorded(cfg, maps_, lanes_, scene_, state_, chunk,
+                            every=every, policy=policy)
+
+  chunks = []
+  ticks = 0
+  while ticks < max_ticks:
+    state, traj = run(maps, lanes, scene, state)
+    chunks.append(jax.tree.map(np.asarray, traj))
+    ticks += chunk
+    if bool(np.asarray(state.done).all()):
+      break
+  traj = jax.tree.map(lambda *xs: np.concatenate(xs, 0), *chunks)
+  return state, traj
 
 
 def _run_single_batch(cfg, by_town, root, reps, n_vehicles, n_walkers,

@@ -1,19 +1,22 @@
 """Temporal LiDAR encoders — video networks posing as backbone drop-ins.
 
-Re-designs of team_code/video_resnet.py (R(2+1)D stem wrapper) for the
-temporal-LiDAR configuration (lidar_seq_len > 1,
-docs/additional_features.md:20): the LiDAR histogram sequence [B,T,H,W,C]
-is encoded with factorized spatiotemporal convolutions (2D spatial + 1D
-temporal — the R(2+1)D decomposition), collapsing time by the last stage so
-the output matches the single-frame encoder interface (4 stage maps).
+Re-designs of team_code/video_resnet.py (R(2+1)D stem wrapper) and
+team_code/video_swin_transformer.py (Video Swin 3D) for the temporal-LiDAR
+configuration (lidar_seq_len > 1, docs/additional_features.md:20): the
+LiDAR histogram sequence [B,T,H,W,C] is encoded with factorized
+spatiotemporal convolutions (R(2+1)D) or shifted-window 3D attention
+(Swin3D), collapsing time per stage so the output matches the single-frame
+encoder interface (4 stage maps).
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class R2Plus1DBlock(nn.Module):
@@ -56,4 +59,132 @@ class VideoResNet(nn.Module):
       h = R2Plus1DBlock(w, spatial_stride=2 if i > 0 else 1,
                         name=f"block{i}")(h)
       feats.append(jnp.mean(h, axis=1))     # collapse time per scale
+    return tuple(feats)
+
+
+# ---------------------------------------------------------------------------
+# Video Swin Transformer 3D (video_swin_transformer.py, 601 LoC) — the
+# reference's second temporal-LiDAR encoder. Re-designed in flax: 3D patch
+# embedding, per-stage shifted-window 3D self-attention with relative
+# position bias, and patch merging. Windows are static-shape rolls +
+# reshapes, so the whole net jits into the env step like the CNN encoders.
+# ---------------------------------------------------------------------------
+
+def _window_partition(x, ws):
+  """x [B,T,H,W,C] -> [B*nW, wt*wh*ww, C] with window size ws=(wt,wh,ww)."""
+  B, T, H, W, C = x.shape
+  wt, wh, ww = ws
+  x = x.reshape(B, T // wt, wt, H // wh, wh, W // ww, ww, C)
+  x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+  return x.reshape(-1, wt * wh * ww, C)
+
+
+def _window_reverse(win, ws, B, T, H, W):
+  wt, wh, ww = ws
+  C = win.shape[-1]
+  x = win.reshape(B, T // wt, H // wh, W // ww, wt, wh, ww, C)
+  x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+  return x.reshape(B, T, H, W, C)
+
+
+class WindowAttention3D(nn.Module):
+  """3D window MHSA with learned relative position bias
+  (video_swin WindowAttention3D)."""
+  dim: int
+  window: Tuple[int, int, int]
+  n_heads: int
+
+  @nn.compact
+  def __call__(self, x):
+    """x [nW, N, C] with N = prod(window)."""
+    wt, wh, ww = self.window
+    N = wt * wh * ww
+    qkv = nn.Dense(3 * self.dim, name="qkv")(x)
+    q, k, v = jnp.split(qkv, 3, -1)
+    hd = self.dim // self.n_heads
+
+    def heads(a):
+      return a.reshape(a.shape[0], N, self.n_heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd)
+    # relative position bias over the 3D window
+    bias_table = self.param(
+        "rel_bias", nn.initializers.normal(0.02),
+        ((2 * wt - 1) * (2 * wh - 1) * (2 * ww - 1), self.n_heads))
+    coords = np.stack(np.meshgrid(np.arange(wt), np.arange(wh),
+                                  np.arange(ww), indexing="ij"),
+                      0).reshape(3, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel + np.array([wt - 1, wh - 1, ww - 1]).reshape(3, 1, 1)
+    idx = (rel[0] * (2 * wh - 1) * (2 * ww - 1) +
+           rel[1] * (2 * ww - 1) + rel[2])
+    att = att + bias_table[jnp.asarray(idx)].transpose(2, 0, 1)[None]
+    att = jax.nn.softmax(att, -1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+    out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], N, self.dim)
+    return nn.Dense(self.dim, name="proj")(out)
+
+
+class SwinBlock3D(nn.Module):
+  dim: int
+  n_heads: int
+  window: Tuple[int, int, int]
+  shift: bool = False
+  mlp_ratio: float = 4.0
+
+  @nn.compact
+  def __call__(self, x):
+    """x [B,T,H,W,C]; T/H/W padded to multiples of the window upstream."""
+    B, T, H, W, C = x.shape
+    ws = (min(self.window[0], T), min(self.window[1], H),
+          min(self.window[2], W))
+    h = nn.LayerNorm(name="ln1")(x)
+    if self.shift:
+      sh = tuple(-(w // 2) for w in ws)
+      h = jnp.roll(h, sh, axis=(1, 2, 3))
+    win = _window_partition(h, ws)
+    win = WindowAttention3D(C, ws, self.n_heads, name="attn")(win)
+    h = _window_reverse(win, ws, B, T, H, W)
+    if self.shift:
+      h = jnp.roll(h, tuple(w // 2 for w in ws), axis=(1, 2, 3))
+    x = x + h
+    h = nn.LayerNorm(name="ln2")(x)
+    h = nn.Dense(int(C * self.mlp_ratio), name="mlp_fc")(h)
+    h = nn.gelu(h)
+    h = nn.Dense(C, name="mlp_proj")(h)
+    return x + h
+
+
+class SwinTransformer3D(nn.Module):
+  """Temporal LiDAR encoder: 4 stages of shifted-window 3D attention,
+  returning 4 time-collapsed stage maps (the single-frame encoder
+  interface). Mirrors the reference SwinTransformer3D structure (patch
+  embed (1,4,4), depths (2,2,6,2), window (2,7,7)-like) at test-friendly
+  sizes via the module fields."""
+  embed_dim: int = 48
+  depths: Sequence[int] = (2, 2, 4, 2)
+  n_heads: Sequence[int] = (3, 6, 12, 24)
+  window: Tuple[int, int, int] = (2, 4, 4)
+
+  @nn.compact
+  def __call__(self, x):
+    """x [B,T,H,W,C] -> tuple of 4 maps [B,H/4/2^i,W/4/2^i,dim*2^i]."""
+    h = nn.Conv(self.embed_dim, (1, 4, 4), strides=(1, 4, 4),
+                name="patch_embed")(x)
+    h = nn.LayerNorm(name="patch_ln")(h)
+    feats = []
+    for si, (depth, heads) in enumerate(zip(self.depths, self.n_heads)):
+      if si > 0:
+        # patch merging: 2x2 spatial concat + linear reduction
+        B, T, H, W, C = h.shape
+        h = h.reshape(B, T, H // 2, 2, W // 2, 2, C)
+        h = h.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, T, H // 2, W // 2,
+                                                     4 * C)
+        h = nn.Dense(2 * C, name=f"merge{si}")(nn.LayerNorm(
+            name=f"merge_ln{si}")(h))
+      for bi in range(depth):
+        h = SwinBlock3D(h.shape[-1], heads, self.window,
+                        shift=bool(bi % 2), name=f"s{si}b{bi}")(h)
+      feats.append(jnp.mean(h, axis=1))       # collapse time per scale
     return tuple(feats)

@@ -10,6 +10,7 @@ episode reduction to driving score happens in scoring.py.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from carla_garage_tpu.config import GlobalConfig
@@ -22,11 +23,18 @@ ROUTE_MATCH_DIST = 10.0   # waypoint pass distance (RouteCompletion WINDOWS)
 ROUTE_WINDOW = 64
 
 
+MAX_EVENTS = 16
+
+
 def criteria_reset(B: int, V: int, W: int, L: int, S: int) -> CriteriaState:
   z_i = jnp.zeros((B,), jnp.int32)
   z_b = jnp.zeros((B,), bool)
   z_f = jnp.zeros((B,), jnp.float32)
   return CriteriaState(
+      event_pos=jnp.zeros((B, MAX_EVENTS, 2)),
+      event_kind=jnp.zeros((B, MAX_EVENTS), jnp.int32),
+      event_tick=jnp.zeros((B, MAX_EVENTS), jnp.int32),
+      event_count=z_i,
       penalty=jnp.ones((B,), jnp.float32),
       n_collision_vehicle=z_i, n_collision_walker=z_i, n_collision_static=z_i,
       n_red_light=z_i, n_stop_sign=z_i,
@@ -180,7 +188,28 @@ def criteria_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
                           jnp.int32(c.blocked_seconds * s.fps))
   timed_out = cr.timed_out | (state.tick >= scene.timeout_ticks)
 
+  # --- infraction event log: append (pos, kind, tick) per NEW infraction
+  # this tick (TrafficEvent analog for the result parser) ---
+  from carla_garage_tpu.structs import EventKind
+  ev_pos, ev_kind, ev_tick, ev_n = (cr.event_pos, cr.event_kind,
+                                    cr.event_tick, cr.event_count)
+  E = ev_kind.shape[1]
+  for flag, kind in ((new_v > 0, EventKind.COLLISION_VEHICLE),
+                     (new_w > 0, EventKind.COLLISION_WALKER),
+                     (new_s > 0, EventKind.COLLISION_STATIC),
+                     (n_red_new > 0, EventKind.RED_LIGHT),
+                     (n_stop_new > 0, EventKind.STOP_SIGN)):
+    slot = jnp.clip(ev_n, 0, E - 1)
+    oh = jax.nn.one_hot(slot, E, dtype=bool) & flag[:, None] & \
+        (ev_n < E)[:, None]
+    ev_pos = jnp.where(oh[..., None], ego.pos[:, None], ev_pos)
+    ev_kind = jnp.where(oh, kind, ev_kind)
+    ev_tick = jnp.where(oh, state.tick[:, None], ev_tick)
+    ev_n = ev_n + (flag & (ev_n < E)).astype(jnp.int32)
+
   return CriteriaState(
+      event_pos=ev_pos, event_kind=ev_kind, event_tick=ev_tick,
+      event_count=ev_n,
       penalty=penalty,
       n_collision_vehicle=cr.n_collision_vehicle + new_v,
       n_collision_walker=cr.n_collision_walker + new_w,

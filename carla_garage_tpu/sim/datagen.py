@@ -54,6 +54,9 @@ class Frames:
   brake: jnp.ndarray
   target_speed: jnp.ndarray  # [F,B] expert target speed (0 when braking)
   junction: jnp.ndarray      # [F,B]
+  light_hazard: jnp.ndarray  # [F,B] expert red-light flag (PlanT input)
+  stop_hazard: jnp.ndarray   # [F,B] expert stop-sign flag
+  time_s: jnp.ndarray        # [F,B] sim time (recovers light states)
   alive: jnp.ndarray         # [F,B] episode not done at this frame
 
 
@@ -93,6 +96,10 @@ def collect_expert_frames(cfg: GlobalConfig, maps: MapStack,
             ex.vehicle_hazard | ex.walker_hazard | ex.light_hazard |
             ex.stop_sign_hazard, 0.0, ex.target_speed),
         junction=ex.junction,
+        light_hazard=ex.light_hazard.astype(jnp.float32),
+        stop_hazard=(ex.stop_sign_hazard |
+                     ex.stop_sign_close).astype(jnp.float32),
+        time_s=st.time_s,
         alive=~st.done)
     return st, frame
 

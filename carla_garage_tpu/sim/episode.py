@@ -83,6 +83,50 @@ def rollout(cfg: GlobalConfig, maps: MapStack, lanes: LaneGraph,
   return final
 
 
+def rollout_recorded(cfg: GlobalConfig, maps: MapStack, lanes: LaneGraph,
+                     scene: Scene, state: SimState, n_ticks: int,
+                     every: int = 10, policy: PolicyFn = expert_step):
+  """Rollout that also records a decimated trajectory log — the
+  ScenarioLogger analog (scenario_logger.py:13-82: every 10th frame,
+  nearby-actor ROI) for replay clips and infraction maps.
+
+  Returns (final_state, traj dict of [T',B,...] arrays) with
+  T' = n_ticks // every snapshots: ego (x,y,yaw,speed), the 8 nearest
+  vehicles and 2 nearest walkers (position, yaw, valid)."""
+  NV, NW = 8, 2
+
+  def snap(st: SimState):
+    d_v = jnp.linalg.norm(st.vehicles.pos - st.ego.pos[:, None], axis=-1)
+    d_v = jnp.where(st.vehicles.valid, d_v, jnp.inf)
+    iv = jnp.argsort(d_v, axis=-1)[:, :NV]
+    d_w = jnp.linalg.norm(st.walkers.pos - st.ego.pos[:, None], axis=-1)
+    d_w = jnp.where(st.walkers.valid, d_w, jnp.inf)
+    iw = jnp.argsort(d_w, axis=-1)[:, :NW]
+    gv = lambda a: jnp.take_along_axis(
+        a, iv[..., None] if a.ndim == 3 else iv, 1)
+    gw = lambda a: jnp.take_along_axis(
+        a, iw[..., None] if a.ndim == 3 else iw, 1)
+    return dict(
+        ego=jnp.concatenate([st.ego.pos, st.ego.yaw[:, None],
+                             st.ego.speed[:, None]], -1),
+        veh_pos=gv(st.vehicles.pos), veh_yaw=gv(st.vehicles.yaw),
+        veh_valid=gv(st.vehicles.valid) &
+        jnp.isfinite(jnp.take_along_axis(d_v, iv, 1)),
+        wlk_pos=gw(st.walkers.pos),
+        wlk_valid=gw(st.walkers.valid) &
+        jnp.isfinite(jnp.take_along_axis(d_w, iw, 1)),
+        tick=st.tick, alive=~st.done)
+
+  def frame(st, _):
+    st = jax.lax.fori_loop(
+        0, every, lambda i, s2: sim_step(cfg, maps, lanes, scene, s2,
+                                         policy), st)
+    return st, snap(st)
+
+  final, traj = jax.lax.scan(frame, state, None, length=n_ticks // every)
+  return final, traj
+
+
 def rollout_chunked(cfg: GlobalConfig, maps: MapStack, lanes: LaneGraph,
                     scene: Scene, state: SimState, max_ticks: int,
                     chunk: int = 256, policy: PolicyFn = expert_step,

@@ -221,6 +221,23 @@ class CriteriaState:
   red_light_cooldown: jnp.ndarray    # [B] per-light latched mask, [B,L] bool
   stop_pending: jnp.ndarray          # [B,S] bool — inside trigger, not yet stopped
   stop_done: jnp.ndarray             # [B,S] bool — stop satisfied / scored
+  # Infraction event log (TrafficEvent analog, statistics_manager:33-57):
+  # position + kind + tick of each scored infraction, for the result
+  # parser's per-town infraction maps and replay clips
+  event_pos: jnp.ndarray             # [B,E,2]
+  event_kind: jnp.ndarray            # [B,E] int32 (EventKind)
+  event_tick: jnp.ndarray            # [B,E] int32
+  event_count: jnp.ndarray           # [B] int32
+
+
+class EventKind:
+  """Infraction event codes in CriteriaState.event_kind."""
+  NONE = 0
+  COLLISION_VEHICLE = 1
+  COLLISION_WALKER = 2
+  COLLISION_STATIC = 3
+  RED_LIGHT = 4
+  STOP_SIGN = 5
 
 
 @struct.dataclass

@@ -6,8 +6,16 @@ straight from batched expert rollouts (sim/datagen.py) as device arrays;
 the train step is jitted with batch sharding over a device mesh (DP via
 pjit — the ZeRO/DDP analog is XLA's sharding propagation + psum).
 
-Losses follow plant.py:311-342 / train.py loss weighting: L1 waypoints +
-class-weighted CE target speed (+ checkpoint L1 when used).
+Sample layout mirrors the reference exactly (plant.py forward +
+plant_agent.py:142 padding): object boxes = nearest vehicles / walkers /
+red-yellow lights / stop signs in the ego frame, zero-padded (type 0) to
+max_objects; route tokens = num_route_points points of the dense route at
+2 m spacing; hazard flags from the expert; forecast labels = quantized
+future attributes 0.5 s ahead (data.py:1017-1051 quantization).
+
+Losses follow plant.py:311-342: L1 waypoints + class-weighted CE target
+speed + checkpoint L1 + mean CE over the 7 forecast attribute heads with
+ignore-index for padded/despawned objects.
 """
 
 from __future__ import annotations
@@ -21,102 +29,191 @@ import numpy as np
 import optax
 
 from carla_garage_tpu.config import GlobalConfig
-from carla_garage_tpu.models.plant import PlanT, PlanTConfig
+from carla_garage_tpu.models.plant import ObjType, PlanT, PlanTConfig
 from carla_garage_tpu.ops.losses import cross_entropy
 from carla_garage_tpu.sim import geometry as geo
 from carla_garage_tpu.sim.datagen import (Frames, PRED_LEN,
                                           checkpoint_labels,
                                           target_speed_labels,
                                           waypoint_labels)
-from carla_garage_tpu.structs import Scene
+from carla_garage_tpu.structs import LightState, Scene
+
+IGNORE_INDEX = -999
+FORECAST_FRAMES = 2       # 0.5 s at 4 Hz (config.py:544 forcast_time)
 
 
 @dataclasses.dataclass
 class PlantDataset:
   """Flattened [N,...] numpy training arrays."""
-  tokens: np.ndarray
-  types: np.ndarray
-  token_valid: np.ndarray
-  target_point: np.ndarray
-  wp_label: np.ndarray
-  speed_label: np.ndarray
-  ckpt_label: np.ndarray
+  boxes: np.ndarray          # [N,O,7]
+  box_types: np.ndarray      # [N,O] int32
+  route: np.ndarray          # [N,R,2]
+  light: np.ndarray          # [N]
+  stop: np.ndarray           # [N]
+  junction: np.ndarray       # [N]
+  velocity: np.ndarray       # [N]
+  target_point: np.ndarray   # [N,2] (PID-side, not a net input)
+  wp_label: np.ndarray       # [N,pred_len,2]
+  speed_label: np.ndarray    # [N]
+  ckpt_label: np.ndarray     # [N,R,2]
+  forecast_label: np.ndarray  # [N,O,7] int32 (IGNORE_INDEX = no label)
 
   def __len__(self):
-    return len(self.tokens)
+    return len(self.boxes)
+
+
+BATCH_KEYS = ("boxes", "box_types", "route", "light", "stop", "junction",
+              "velocity", "target_point", "wp_label", "speed_label",
+              "ckpt_label", "forecast_label")
+
+
+def quantize_attrs(cfg: GlobalConfig, pcfg: PlanTConfig,
+                   attrs: jnp.ndarray) -> jnp.ndarray:
+  """data.py:1017-1051 quantize_box over [...,7] attrs -> int bins."""
+  sc = cfg.sensor
+  x = (attrs[..., 0] + sc.max_x) / (sc.max_x - sc.min_x)
+  y = (attrs[..., 1] + sc.max_y) / (sc.max_y - sc.min_y)
+  ex = attrs[..., 2] / 30.0
+  ey = attrs[..., 3] / 30.0
+  yaw = (attrs[..., 4] + jnp.pi) / (2 * jnp.pi)
+  speed = attrs[..., 5] / (60.0 / 3.6)     # plant_max_speed_pred km/h->m/s
+  brake = attrs[..., 6]
+  norm = jnp.stack([x, y, ex, ey, yaw, speed, brake], -1)
+  norm = jnp.clip(norm, 0.0, 1.0)
+  sizes = jnp.array(pcfg.vocab_sizes, jnp.float32)
+  return jnp.round(norm * (sizes - 1)).astype(jnp.int32)
+
+
+def _object_candidates(cfg: GlobalConfig, frames: Frames, scene: Scene):
+  """All candidate object tokens per frame: vehicles, walkers, affecting
+  lights, stop signs — ego-frame attrs [F,B,C,7], types, valid, distance.
+  Also returns future attrs (0.5 s ahead) for vehicles/walkers and a
+  forecast-validity mask."""
+  F, B = frames.ego_yaw.shape
+  ego_pos, ego_yaw = frames.ego_pos, frames.ego_yaw
+
+  def rel_attrs(pos, yaw, extent, speed, brake, ref_pos, ref_yaw):
+    rel = geo.world_to_ego(pos, ref_pos[:, :, None], ref_yaw[:, :, None])
+    ryaw = geo.normalize_angle(yaw - ref_yaw[:, :, None])
+    return jnp.stack([rel[..., 0], rel[..., 1], extent[..., 0],
+                      extent[..., 1], ryaw, speed, brake], -1)
+
+  def shift2(x):
+    return jnp.roll(x, -FORECAST_FRAMES, axis=0)
+
+  v_attr = rel_attrs(frames.veh_pos, frames.veh_yaw, frames.veh_extent,
+                     frames.veh_speed, frames.veh_brake, ego_pos, ego_yaw)
+  v_fut = rel_attrs(shift2(frames.veh_pos), shift2(frames.veh_yaw),
+                    frames.veh_extent, shift2(frames.veh_speed),
+                    shift2(frames.veh_brake), ego_pos, ego_yaw)
+  v_fc_ok = frames.veh_valid & shift2(frames.veh_valid)
+  w_attr = rel_attrs(frames.wlk_pos, frames.wlk_yaw, frames.wlk_extent,
+                     frames.wlk_speed, jnp.zeros_like(frames.wlk_speed),
+                     ego_pos, ego_yaw)
+  w_fut = rel_attrs(shift2(frames.wlk_pos), shift2(frames.wlk_yaw),
+                    frames.wlk_extent, shift2(frames.wlk_speed),
+                    jnp.zeros_like(frames.wlk_speed), ego_pos, ego_yaw)
+  w_fc_ok = frames.wlk_valid & shift2(frames.wlk_valid)
+
+  # lights: red/yellow at the frame time (the reference's GT light boxes)
+  lights = scene.lights
+  lstate = lights.state_at(frames.time_s)                 # [F,B,L]
+  l_red = (lstate == LightState.RED) | (lstate == LightState.YELLOW)
+  l_attr = rel_attrs(
+      jnp.broadcast_to(lights.pos[None], (F,) + lights.pos.shape),
+      jnp.broadcast_to(lights.yaw[None], (F,) + lights.yaw.shape),
+      jnp.broadcast_to(lights.extent[None], (F,) + lights.extent.shape),
+      jnp.zeros_like(l_red, jnp.float32), jnp.zeros_like(l_red, jnp.float32),
+      ego_pos, ego_yaw)
+  l_ok = jnp.broadcast_to(lights.valid[None], l_red.shape) & l_red
+  stops = scene.stops
+  s_attr = rel_attrs(
+      jnp.broadcast_to(stops.pos[None], (F,) + stops.pos.shape),
+      jnp.broadcast_to(stops.yaw[None], (F,) + stops.yaw.shape),
+      jnp.broadcast_to(stops.extent[None], (F,) + stops.extent.shape),
+      jnp.zeros((F,) + stops.yaw.shape), jnp.zeros((F,) + stops.yaw.shape),
+      ego_pos, ego_yaw)
+  s_ok = jnp.broadcast_to(stops.valid[None], s_attr.shape[:-1])
+
+  attrs = jnp.concatenate([v_attr, w_attr, l_attr, s_attr], 2)
+  fut = jnp.concatenate([
+      v_fut, w_fut, jnp.zeros_like(l_attr), jnp.zeros_like(s_attr)], 2)
+  V, W = frames.veh_yaw.shape[-1], frames.wlk_yaw.shape[-1]
+  L, S = lights.yaw.shape[-1], stops.yaw.shape[-1]
+  types = jnp.concatenate([
+      jnp.full((F, B, V), ObjType.VEHICLE, jnp.int32),
+      jnp.full((F, B, W), ObjType.WALKER, jnp.int32),
+      jnp.full((F, B, L), ObjType.LIGHT, jnp.int32),
+      jnp.full((F, B, S), ObjType.STOP, jnp.int32)], 2)
+  valid = jnp.concatenate([
+      frames.veh_valid, frames.wlk_valid, l_ok, s_ok], 2)
+  fc_ok = jnp.concatenate([
+      v_fc_ok, w_fc_ok, jnp.zeros_like(l_ok), jnp.zeros_like(s_ok)], 2)
+  d = jnp.linalg.norm(attrs[..., :2], axis=-1)
+  valid &= d < 32.0                       # the PlanT observation range
+  return attrs, fut, types, valid, fc_ok, d
+
+
+def build_plant_samples(cfg: GlobalConfig, pcfg: PlanTConfig,
+                        frames: Frames, scene: Scene):
+  """Frames [F,B,...] -> per-frame model inputs + labels (jnp, [F,B,...])."""
+  F, B = frames.ego_yaw.shape
+  O = pcfg.max_objects
+  attrs, fut, types, valid, fc_ok, d = _object_candidates(cfg, frames,
+                                                          scene)
+  # nearest-first selection into O slots; padding = zeros w/ type 0
+  # (plant_agent.py:142 zero-pads, type column 0)
+  order = jnp.argsort(jnp.where(valid, d, jnp.inf), axis=-1)[..., :O]
+
+  def g(x):
+    if x.ndim == 4:                       # [F,B,C,k]
+      return jnp.take_along_axis(x, order[..., None], 2)
+    return jnp.take_along_axis(x, order, 2)
+  sel_attr = g(attrs)
+  sel_fut = g(fut)
+  sel_types = g(types)
+  sel_valid = g(valid)
+  sel_fc = g(fc_ok) & sel_valid
+  boxes = jnp.where(sel_valid[..., None], sel_attr, 0.0)
+  box_types = jnp.where(sel_valid, sel_types, ObjType.VEHICLE)
+  forecast = jnp.where(sel_fc[..., None],
+                       quantize_attrs(cfg, pcfg, sel_fut), IGNORE_INDEX)
+
+  # route tokens: num_route_points dense-route points at 2 m spacing
+  R = scene.route.points.shape[1]
+  offs = jnp.arange(pcfg.num_route_points) * 2
+  q = jnp.clip(frames.dense_idx[..., None] + offs, 0, R - 1)
+  pts = jnp.take_along_axis(
+      jnp.broadcast_to(scene.route.points[None], (F, B, R, 2)),
+      q[..., None], 2)
+  route = geo.world_to_ego(pts, frames.ego_pos[:, :, None],
+                           frames.ego_yaw[:, :, None])
+  return dict(boxes=boxes, box_types=box_types, route=route,
+              light=frames.light_hazard, stop=frames.stop_hazard,
+              junction=frames.junction.astype(jnp.float32),
+              velocity=frames.ego_speed, forecast_label=forecast)
 
 
 def build_plant_dataset(cfg: GlobalConfig, pcfg: PlanTConfig,
                         frames: Frames, scene: Scene) -> PlantDataset:
-  """Frames [F,B,...] -> flattened valid samples.
-
-  Token construction mirrors agents.plant_agent.extract_tokens but over the
-  recorded world snapshots.
-  """
-  F, B = frames.ego_yaw.shape
-  V = frames.veh_yaw.shape[-1]
-  W = frames.wlk_yaw.shape[-1]
-  ego_pos = frames.ego_pos
-  ego_yaw = frames.ego_yaw
-
-  def obj_tokens(pos, yaw, extent, speed, brake, valid):
-    rel = geo.world_to_ego(pos, ego_pos[:, :, None], ego_yaw[:, :, None])
-    ryaw = geo.normalize_angle(yaw - ego_yaw[:, :, None])
-    d = jnp.linalg.norm(rel, axis=-1)
-    ok = valid & (d < cfg.expert.detection_radius)
-    attrs = jnp.stack([rel[..., 0], rel[..., 1], extent[..., 0],
-                       extent[..., 1], ryaw, speed, brake], -1)
-    return jnp.where(ok[..., None], attrs, 0.0), ok
-
-  v_tok, v_ok = obj_tokens(frames.veh_pos, frames.veh_yaw, frames.veh_extent,
-                           frames.veh_speed, frames.veh_brake,
-                           frames.veh_valid)
-  w_tok, w_ok = obj_tokens(frames.wlk_pos, frames.wlk_yaw, frames.wlk_extent,
-                           frames.wlk_speed,
-                           jnp.zeros_like(frames.wlk_speed),
-                           frames.wlk_valid)
-
-  n_seg = pcfg.max_tokens - V - W
-  n_pts = 2 * n_seg
-  offs = jnp.arange(n_pts) * 2
-  q = frames.dense_idx[..., None] + offs                     # [F,B,n]
-  R = scene.route.points.shape[1]
-  qc = jnp.clip(q, 0, R - 1)
-  pts = jnp.take_along_axis(
-      jnp.broadcast_to(scene.route.points[None], (F, B, R, 2)),
-      qc[..., None], 2)
-  rel_pts = geo.world_to_ego(pts, ego_pos[:, :, None], ego_yaw[:, :, None])
-  p0 = rel_pts[:, :, 0::2][:, :, :n_seg]
-  p1 = rel_pts[:, :, 1::2][:, :, :n_seg]
-  mid = (p0 + p1) / 2.0
-  d = p1 - p0
-  seg_yaw = jnp.arctan2(d[..., 1], d[..., 0])
-  seg_len = jnp.linalg.norm(d, axis=-1)
-  in_route = (q[:, :, 1::2][:, :, :n_seg] <
-              scene.route.num_valid[None, :, None])
-  r_tok = jnp.stack([mid[..., 0], mid[..., 1], seg_len / 2.0,
-                     jnp.ones_like(seg_len), seg_yaw,
-                     jnp.zeros_like(seg_len), jnp.zeros_like(seg_len)], -1)
-  r_tok = jnp.where(in_route[..., None], r_tok, 0.0)
-
-  tokens = jnp.concatenate([v_tok, w_tok, r_tok], 2)         # [F,B,T,A]
-  types = jnp.concatenate([
-      jnp.full((F, B, V), 0, jnp.int32), jnp.full((F, B, W), 1, jnp.int32),
-      jnp.full((F, B, n_seg), 4, jnp.int32)], 2)
-  token_valid = jnp.concatenate([v_ok, w_ok, in_route], 2)
-
+  """Frames [F,B,...] -> flattened valid samples."""
+  s = build_plant_samples(cfg, pcfg, frames, scene)
   wp, wp_valid = waypoint_labels(frames)
   speed_cls = target_speed_labels(frames, cfg, brake_lookahead=2)
-  ckpt = checkpoint_labels(frames, scene, pcfg.checkpoint_len)
+  ckpt = checkpoint_labels(frames, scene, pcfg.num_route_points)
   sample_valid = np.asarray(wp_valid).reshape(-1)
 
   def flat(x):
-    return np.asarray(x).reshape((-1,) + x.shape[2:])[sample_valid]
+    x = np.asarray(x)
+    return x.reshape((-1,) + x.shape[2:])[sample_valid]
 
   return PlantDataset(
-      tokens=flat(tokens), types=flat(types), token_valid=flat(token_valid),
+      boxes=flat(s["boxes"]), box_types=flat(s["box_types"]),
+      route=flat(s["route"]), light=flat(s["light"]), stop=flat(s["stop"]),
+      junction=flat(s["junction"]), velocity=flat(s["velocity"]),
       target_point=flat(frames.target_point), wp_label=flat(wp),
-      speed_label=flat(speed_cls), ckpt_label=flat(ckpt))
+      speed_label=flat(speed_cls), ckpt_label=flat(ckpt),
+      forecast_label=flat(s["forecast_label"]))
 
 
 # Target-speed class weights (config.py:158)
@@ -124,12 +221,17 @@ SPEED_WEIGHTS = (0.866605263873406, 7.4527377240841775, 1.2281629310898465,
                  0.5269622904065803)
 
 
+def _apply(model, params, batch):
+  return model.apply(params, batch["boxes"], batch["box_types"],
+                     batch["route"], batch["light"], batch["stop"],
+                     batch["junction"], batch["velocity"])
+
+
 def plant_loss(model: PlanT, params, batch, rng=None, log_vars=None):
   """log_vars (optional dict of per-task log-variances) switches the fixed
   unit weights to Kendall learned multi-task weighting
   (train.py:384-456 learn_multi_task_weights)."""
-  out = model.apply(params, batch["tokens"], batch["types"],
-                    batch["token_valid"], batch["target_point"])
+  out = _apply(model, params, batch)
   losses = {
       "wp": jnp.mean(jnp.abs(out["pred_wp"] - batch["wp_label"])),
       "speed": cross_entropy(out["pred_target_speed"], batch["speed_label"],
@@ -137,13 +239,26 @@ def plant_loss(model: PlanT, params, batch, rng=None, log_vars=None):
       "ckpt": jnp.mean(jnp.abs(out["pred_checkpoint"] -
                                batch["ckpt_label"])),
   }
+  # forecast: mean CE over the 7 attribute heads, ignoring unlabeled
+  # objects (plant.py:328-341, ignore_index)
+  fc_total = 0.0
+  for i, logits in enumerate(out["pred_forecast"]):
+    lab = batch["forecast_label"][..., i]
+    ok = lab != IGNORE_INDEX
+    lab_safe = jnp.clip(lab, 0, logits.shape[-1] - 1)
+    ce = -jnp.take_along_axis(jax.nn.log_softmax(logits),
+                              lab_safe[..., None], -1)[..., 0]
+    fc_total += jnp.sum(jnp.where(ok, ce, 0.0)) / \
+        jnp.maximum(jnp.sum(ok), 1.0)
+  losses["forecast"] = fc_total / len(out["pred_forecast"])
   if log_vars is not None:
     from carla_garage_tpu.train.schedules import uncertainty_weighted_total
     loss = uncertainty_weighted_total(losses, log_vars)
   else:
     loss = sum(losses.values())
-  return loss, {"loss": loss, "loss_wp": losses["wp"],
-                "loss_speed": losses["speed"], "loss_ckpt": losses["ckpt"]}
+  aux = {f"loss_{k}": v for k, v in losses.items()}
+  aux["loss"] = loss
+  return loss, aux
 
 
 def make_train_step(model: PlanT, tx, learn_loss_weights: bool = False):
@@ -170,20 +285,24 @@ def make_train_step(model: PlanT, tx, learn_loss_weights: bool = False):
   return train_step_kendall
 
 
-def iterate_minibatches(ds: PlantDataset, batch_size: int, rng: np.random.Generator,
-                        epochs: int = 1) -> Iterator[dict]:
+def iterate_minibatches(ds: PlantDataset, batch_size: int,
+                        rng: np.random.Generator,
+                        epochs: int = 1,
+                        velocity_dropout: float = 0.0) -> Iterator[dict]:
+  """velocity_dropout zeroes the measured speed for that fraction of
+  samples — without it the model learns the 'speed==0 => brake' shortcut
+  (the velocity bias the reference paper analyzes; closed-loop launches
+  from standstill then never happen)."""
   n = len(ds)
   for _ in range(epochs):
     order = rng.permutation(n)
     for i in range(0, n - batch_size + 1, batch_size):
       sel = order[i:i + batch_size]
-      yield {
-          "tokens": ds.tokens[sel], "types": ds.types[sel],
-          "token_valid": ds.token_valid[sel],
-          "target_point": ds.target_point[sel],
-          "wp_label": ds.wp_label[sel], "speed_label": ds.speed_label[sel],
-          "ckpt_label": ds.ckpt_label[sel],
-      }
+      batch = {k: getattr(ds, k)[sel] for k in BATCH_KEYS}
+      if velocity_dropout > 0:
+        drop = rng.random(batch_size) < velocity_dropout
+        batch["velocity"] = np.where(drop, 0.0, batch["velocity"])
+      yield batch
 
 
 def relabel_with_plant(model: PlanT, params, ds: PlantDataset,
@@ -192,13 +311,12 @@ def relabel_with_plant(model: PlanT, params, ds: PlantDataset,
   offline relabeling of team_code/relabel_dataset.py (used with
   use_plant_labels, config.py:265)."""
   n = (len(ds) // batch_size) * batch_size
-  apply = jax.jit(lambda t, ty, v, tp: model.apply(params, t, ty, v, tp))
+  apply = jax.jit(lambda b: _apply(model, params, b))
   wp = np.array(ds.wp_label)
   sp = np.array(ds.speed_label)
   for i in range(0, n, batch_size):
     sl = slice(i, i + batch_size)
-    out = apply(ds.tokens[sl], ds.types[sl], ds.token_valid[sl],
-                ds.target_point[sl])
+    out = apply({k: getattr(ds, k)[sl] for k in BATCH_KEYS})
     wp[sl] = np.asarray(out["pred_wp"])[:, :wp.shape[1]]
     sp[sl] = np.asarray(jnp.argmax(out["pred_target_speed"], -1))
   return dataclasses.replace(ds, wp_label=wp, speed_label=sp)
@@ -257,17 +375,19 @@ def train_plant(cfg: GlobalConfig, pcfg: PlanTConfig, ds: PlantDataset,
   if params is None:
     ex = next(iterate_minibatches(train_ds, min(batch_size, len(train_ds)),
                                   rng))
-    params = model.init(jax.random.key(seed), ex["tokens"], ex["types"],
-                        ex["token_valid"], ex["target_point"])
+    params = model.init(jax.random.key(seed), ex["boxes"], ex["box_types"],
+                        ex["route"], ex["light"], ex["stop"],
+                        ex["junction"], ex["velocity"])
   tx = optax.adamw(make_schedule(schedule, lr, steps), weight_decay=0.01)
   step_fn = make_train_step(model, tx, learn_loss_weights)
   if learn_loss_weights:
     from carla_garage_tpu.train.schedules import init_log_vars
-    trainable = (params, init_log_vars(("wp", "speed", "ckpt")))
+    trainable = (params, init_log_vars(("wp", "speed", "ckpt", "forecast")))
   else:
     trainable = params
   opt_state = tx.init(trainable)
-  it = iterate_minibatches(train_ds, batch_size, rng, epochs=10_000)
+  it = iterate_minibatches(train_ds, batch_size, rng, epochs=10_000,
+                           velocity_dropout=0.15)
   history = []
   for i in range(steps):
     batch = next(it)

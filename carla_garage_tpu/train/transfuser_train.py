@@ -74,12 +74,37 @@ def render_frame_batch(cfg: GlobalConfig, maps, scene: Scene,
   lidar_bev = jax.vmap(lambda p, v: voxelize_matmul(p, v, cfg))(pts, valid)
   lidar_bev = jnp.transpose(lidar_bev, (0, 2, 3, 1))
   bev_sem = render_bev_semantics(cfg, maps, scene, snap)
+
+  # detection candidates over ALL four CenterNet classes (the reference's
+  # GT boxes carry vehicle 0 / walker 1 / traffic light 2 / stop sign 3,
+  # data_agent.py:383-570) — red/yellow lights at the frame's sim time
+  from carla_garage_tpu.structs import LightState
+  lights, stops = scene.lights, scene.stops
+  t_s = take(frames.time_s)
+  lstate = lights.state_at(t_s)
+  l_ok = lights.valid & ((lstate == LightState.RED) |
+                         (lstate == LightState.YELLOW))
+  zl = jnp.zeros_like(lights.yaw)
+  zs = jnp.zeros_like(stops.yaw)
+  L, S = lights.yaw.shape[-1], stops.yaw.shape[-1]
+  obj_pos = jnp.concatenate([veh.pos, wlk.pos, lights.pos, stops.pos], 1)
+  obj_yaw = jnp.concatenate([veh.yaw, wlk.yaw, lights.yaw, stops.yaw], 1)
+  obj_extent = jnp.concatenate(
+      [veh.extent, wlk.extent, lights.extent, stops.extent], 1)
+  obj_valid = jnp.concatenate([veh.valid, wlk.valid, l_ok, stops.valid], 1)
+  obj_speed = jnp.concatenate([veh.speed, wlk.speed, zl, zs], 1)
+  obj_brake = jnp.concatenate(
+      [take(frames.veh_brake), jnp.zeros_like(wlk.speed), zl, zs], 1)
+  obj_cls = jnp.concatenate([
+      jnp.zeros((B, V), jnp.int32), jnp.ones((B, W), jnp.int32),
+      jnp.full((B, L), 2, jnp.int32), jnp.full((B, S), 3, jnp.int32)], 1)
+
   return dict(rgb=cam["rgb"], semantic=cam["semantic"],
               depth=cam["depth"], lidar_bev=lidar_bev,
               bev_semantic=bev_sem,
-              veh_pos=veh.pos, veh_yaw=veh.yaw, veh_extent=veh.extent,
-              veh_valid=veh.valid, veh_speed=veh.speed,
-              veh_brake=take(frames.veh_brake),
+              obj_pos=obj_pos, obj_yaw=obj_yaw, obj_extent=obj_extent,
+              obj_valid=obj_valid, obj_speed=obj_speed,
+              obj_brake=obj_brake, obj_cls=obj_cls,
               ego_pos=ego.pos, ego_yaw=ego.yaw, speed=ego.speed,
               target_point=take(frames.target_point),
               command=take(frames.command))
@@ -89,25 +114,26 @@ def centernet_targets(cfg: GlobalConfig, tcfg: TransfuserConfig, batch,
                       grid_hw: tuple):
   """CenterNet training targets on the BEV feature grid (data.py:698-791).
 
-  Boxes = recorded vehicles in the ego frame, gridded at the model's BEV
-  stride. Returns dict of [B,h,w,*] targets + a box mask.
+  Boxes = all recorded objects (vehicle/walker/red light/stop sign class
+  channels) in the ego frame, gridded at the model's BEV stride. Returns
+  dict of [B,h,w,*] targets + a box mask.
   """
   h, w = grid_hw
   sc = cfg.sensor
   ppm_grid = h / (sc.max_y - sc.min_y)          # cells per meter
-  rel = geo.world_to_ego(batch["veh_pos"], batch["ego_pos"][:, None],
+  rel = geo.world_to_ego(batch["obj_pos"], batch["ego_pos"][:, None],
                          batch["ego_yaw"][:, None])
-  ryaw = geo.normalize_angle(batch["veh_yaw"] - batch["ego_yaw"][:, None])
+  ryaw = geo.normalize_angle(batch["obj_yaw"] - batch["ego_yaw"][:, None])
   cx = (rel[..., 0] - sc.min_x) * ppm_grid       # grid col
   cy = (rel[..., 1] - sc.min_y) * ppm_grid       # grid row
-  inb = batch["veh_valid"] & (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
-  gw = batch["veh_extent"][..., 1] * 2 * ppm_grid
-  gl = batch["veh_extent"][..., 0] * 2 * ppm_grid
+  inb = batch["obj_valid"] & (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+  gw = batch["obj_extent"][..., 1] * 2 * ppm_grid
+  gl = batch["obj_extent"][..., 0] * 2 * ppm_grid
   radius = jnp.maximum(det.gaussian_radius(gw, gl), 2.0)
   centers = jnp.stack([cx, cy], -1)
-  heat = jax.vmap(lambda c, r, v: det.splat_gaussian_heatmap(
-      h, w, c, r, v, jnp.zeros(c.shape[0], jnp.int32),
-      tcfg.num_bb_classes))(centers, radius, inb)
+  heat = jax.vmap(lambda c, r, v, cl: det.splat_gaussian_heatmap(
+      h, w, c, r, v, cl, tcfg.num_bb_classes))(
+      centers, radius, inb, batch["obj_cls"])
   n_bins = tcfg.num_dir_bins
   angle_per = 2 * jnp.pi / n_bins
   yaw_pos = jnp.mod(ryaw, 2 * jnp.pi)
@@ -116,7 +142,7 @@ def centernet_targets(cfg: GlobalConfig, tcfg: TransfuserConfig, batch,
   return dict(heatmap=heat, center=centers, mask=inb,
               wh=jnp.stack([gw, gl], -1),
               yaw_cls=yaw_cls, yaw_res=yaw_res,
-              velocity=batch["veh_speed"], brake=batch["veh_brake"])
+              velocity=batch["obj_speed"], brake=batch["obj_brake"])
 
 
 # normalized loss weights (train.py:384-456 defaults — all 1.0 here)

@@ -42,9 +42,8 @@ from carla_garage_tpu.utils.checkpoint import save_checkpoint
 
 
 def plant_config() -> PlanTConfig:
-  return PlanTConfig(hidden=256, n_layers=4, n_heads=8,
-                     max_tokens=CFG.sim.max_vehicles +
-                     CFG.sim.max_walkers + 24)
+  return PlanTConfig(hidden=256, n_layers=4, n_heads=8, intermediate=1024,
+                     max_objects=24, num_route_points=20)
 
 
 def main():

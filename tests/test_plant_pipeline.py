@@ -18,10 +18,8 @@ import dataclasses
 
 
 def micro_tokens_config():
-  # max_tokens must cover V + W + route segments
-  return dataclasses.replace(micro_plant(),
-                             max_tokens=CFG.sim.max_vehicles +
-                             CFG.sim.max_walkers + 12)
+  return dataclasses.replace(micro_plant(), max_objects=16,
+                             num_route_points=8)
 
 
 def test_datagen_and_training_and_closed_loop():
@@ -39,7 +37,10 @@ def test_datagen_and_training_and_closed_loop():
   # --- dataset ---
   ds = build_plant_dataset(CFG, pcfg, frames, scene)
   assert len(ds) > 50, f"too few valid samples: {len(ds)}"
-  assert ds.tokens.shape[1] == pcfg.max_tokens
+  assert ds.boxes.shape[1] == pcfg.max_objects
+  assert ds.route.shape[1] == pcfg.num_route_points
+  # forecast labels exist for at least some tracked objects
+  assert (ds.forecast_label != -999).any()
   # waypoint labels should be mostly forward (x >= small negative)
   assert float(np.mean(ds.wp_label[..., 0] > -1.0)) > 0.95
 
@@ -62,18 +63,23 @@ def test_kendall_weights_and_schedule():
   """Kendall learned loss weighting + multistep LR schedule train and
   reduce the loss (train.py:384-456, :588-598 wiring)."""
   from carla_garage_tpu.train.plant_train import PlantDataset
-  pcfg = dataclasses.replace(micro_plant(), max_tokens=8)
+  pcfg = dataclasses.replace(micro_plant(), max_objects=6,
+                             num_route_points=4)
   rng = np.random.default_rng(0)
   n = 64
   ds = PlantDataset(
-      tokens=rng.normal(size=(n, 8, 7)).astype(np.float32),
-      types=rng.integers(0, 5, size=(n, 8)).astype(np.int32),
-      token_valid=np.ones((n, 8), bool),
+      boxes=rng.normal(size=(n, 6, 7)).astype(np.float32),
+      box_types=rng.integers(0, 4, size=(n, 6)).astype(np.int32),
+      route=rng.normal(size=(n, 4, 2)).astype(np.float32),
+      light=rng.integers(0, 2, size=(n,)).astype(np.float32),
+      stop=np.zeros((n,), np.float32),
+      junction=np.zeros((n,), np.float32),
+      velocity=rng.uniform(0, 8, size=(n,)).astype(np.float32),
       target_point=rng.normal(size=(n, 2)).astype(np.float32),
       wp_label=rng.normal(size=(n, 8, 2)).astype(np.float32),
       speed_label=rng.integers(0, 4, size=(n,)).astype(np.int32),
-      ckpt_label=rng.normal(size=(n, pcfg.checkpoint_len, 2)).astype(
-          np.float32))
+      ckpt_label=rng.normal(size=(n, 4, 2)).astype(np.float32),
+      forecast_label=np.full((n, 6, 7), -999, np.int32))
   model, params, hist = train_plant(
       CFG, pcfg, ds, steps=40, batch_size=16, lr=1e-3, log_every=39,
       schedule="multistep", learn_loss_weights=True, val_fraction=0.25)

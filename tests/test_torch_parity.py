@@ -250,3 +250,121 @@ def test_perspective_decoder_parity():
   }}
   out = m.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
   assert _diff(out, ref.transpose(0, 2, 3, 1)) < TOL
+
+
+# ---------------------------------------------------------------------------
+# BERT encoder (HF BertModel inputs_embeds path — the PlanT backbone)
+# ---------------------------------------------------------------------------
+
+def test_bert_encoder_parity():
+  from transformers import BertConfig, BertModel
+  torch.manual_seed(7)
+  cfg = BertConfig(hidden_size=64, num_hidden_layers=2,
+                   num_attention_heads=2, intermediate_size=128,
+                   max_position_embeddings=64)
+  bert = BertModel(cfg).eval()
+  x = RNG.normal(size=(2, 9, 64)).astype(np.float32) * 0.5
+  with torch.no_grad():
+    ref = bert(inputs_embeds=torch.tensor(x)).last_hidden_state.numpy()
+
+  from carla_garage_tpu.models.bert import BertEncoder
+  m = BertEncoder(hidden=64, n_layers=2, n_heads=2, intermediate=128,
+                  max_positions=64)
+  params = {"params": ti.convert_bert_encoder(bert.state_dict(), "", 2, 2)}
+  out = m.apply(params, jnp.asarray(x))
+  assert _diff(out, ref) < TOL
+
+
+# ---------------------------------------------------------------------------
+# Full PlanT (plant.py:26-343) — the complete drop-in conversion
+# ---------------------------------------------------------------------------
+
+def test_plant_full_parity():
+  from transformers import BertConfig
+  ref_plant = load_reference_module("plant")
+  import types as _t
+  bert_cfg = BertConfig(hidden_size=64, num_hidden_layers=2,
+                        num_attention_heads=2, intermediate_size=128,
+                        max_position_embeddings=64)
+  ref_plant.AutoConfig = _t.SimpleNamespace(
+      from_pretrained=lambda name: bert_cfg)
+
+  class Cfg:
+    plant_precision_pos = 7
+    plant_precision_angle = 4
+    plant_precision_speed = 5
+    plant_precision_brake = 2
+    plant_num_attributes = 7
+    plant_object_types = 6
+    plant_hf_checkpoint = "unused"
+    plant_embd_pdrop = 0.0
+    plant_pretraining = "dummy"     # skips input asserts
+    use_velocity = True
+    learn_origin = 1
+    use_wp_gru = True
+    use_controller_input_prediction = True
+    gru_hidden_size = 24
+    num_route_points = 5
+    target_speeds = [0.0, 2.0, 5.0, 8.0]
+    use_speed_weights = False
+    target_speed_weights = [1.0, 1.0, 1.0, 1.0]
+    use_label_smoothing = False
+    label_smoothing_alpha = 0.0
+    use_focal_loss = False
+    focal_loss_gamma = 2.0
+    ignore_index = -999
+    pred_len = 4
+    wp_dilation = 1
+    turn_kp = 1.0; turn_ki = 0.0; turn_kd = 0.0; turn_n = 20
+    speed_kp = 5.0; speed_ki = 0.5; speed_kd = 1.0; speed_n = 20
+
+  torch.manual_seed(8)
+  net = ref_plant.PlanT(Cfg()).eval()
+  # the wp_head expects 64-dim z: reference hardcodes trans_out_features
+  # 512(+128); with a 64-hidden test BERT the Linear dims come from the
+  # constructor args, so rebuild the mismatched pieces at the test dims.
+  import torch.nn as tnn
+  torch.manual_seed(9)
+  net.wp_head = tnn.Linear(64 + 128, 66)
+  net.target_speed_network = tnn.Sequential(
+      tnn.Linear(64 + 128 + 3, 128), tnn.ReLU(), tnn.Linear(128, 4))
+  net.checkpoint_decoder = ref_plant.GRUWaypointsPredictorInterFuser(
+      input_dim=64, hidden_size=24, waypoints=5,
+      target_point_size=0).eval()
+  net = net.eval()
+  # give BN a non-trivial running state
+  with torch.no_grad():
+    net.velocity_normalization.running_mean.fill_(2.0)
+    net.velocity_normalization.running_var.fill_(4.0)
+
+  B, O, R = 2, 6, 5
+  boxes = RNG.normal(size=(B, O, 8)).astype(np.float32)
+  boxes[..., 7] = np.array([0, 0, 1, 2, 3, 0])   # types incl. padding=car
+  route = RNG.normal(size=(B, R, 2)).astype(np.float32) * 5
+  light = np.ones((B, 1), np.float32)
+  stop = np.zeros((B, 1), np.float32)
+  junc = np.ones((B, 1), np.float32)
+  vel = RNG.normal(size=(B, 1)).astype(np.float32) + 3
+  with torch.no_grad():
+    ref_wp, ref_ts, ref_ckpt, ref_fc = net(
+        torch.tensor(boxes), torch.tensor(route), None,
+        torch.tensor(light), torch.tensor(stop), torch.tensor(junc),
+        torch.tensor(vel))
+
+  from carla_garage_tpu.models.plant import PlanT, PlanTConfig
+  pcfg = PlanTConfig(hidden=64, n_layers=2, n_heads=2, intermediate=128, max_positions=64,
+                     max_objects=O, num_route_points=R, pred_len=4,
+                     gru_hidden=24)
+  m = PlanT(pcfg)
+  params = {"params": ti.convert_plant(net.state_dict(), n_layers=2,
+                                       n_heads=2)}
+  out = m.apply(params, jnp.asarray(boxes[..., :7]),
+                jnp.asarray(boxes[..., 7].astype(np.int32)),
+                jnp.asarray(route), jnp.asarray(light[:, 0]),
+                jnp.asarray(stop[:, 0]), jnp.asarray(junc[:, 0]),
+                jnp.asarray(vel[:, 0]))
+  assert _diff(out["pred_wp"], ref_wp.numpy()) < TOL
+  assert _diff(out["pred_target_speed"], ref_ts.numpy()) < TOL
+  assert _diff(out["pred_checkpoint"], ref_ckpt.numpy()) < TOL
+  for i in range(7):
+    assert _diff(out["pred_forecast"][i], ref_fc[i].numpy()) < TOL
