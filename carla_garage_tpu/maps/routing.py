@@ -241,10 +241,12 @@ def classify_commands(points: np.ndarray, junction_mask: np.ndarray,
       a0 = yaws[max(i - 2, 0)]
       a1 = yaws[min(j + 1, n - 1)]
       dyaw = np.degrees(np.arctan2(np.sin(a1 - a0), np.cos(a1 - a0)))
+      # CARLA yaw increases clockwise in world coords (y "south"):
+      # positive heading change = right turn
       if dyaw > turn_threshold_deg:
-        c = Cmd.RIGHT if _is_right_handed(points, i, j) else Cmd.LEFT
+        c = Cmd.RIGHT
       elif dyaw < -turn_threshold_deg:
-        c = Cmd.LEFT if _is_right_handed(points, i, j) else Cmd.RIGHT
+        c = Cmd.LEFT
       else:
         c = Cmd.STRAIGHT
       cmd[i:j] = c
@@ -252,12 +254,6 @@ def classify_commands(points: np.ndarray, junction_mask: np.ndarray,
     else:
       i += 1
   return cmd
-
-
-def _is_right_handed(points, i, j):
-  """CARLA yaw increases clockwise when viewed in image coords (y down in
-  world): positive heading change = right turn."""
-  return True
 
 
 def downsample_route(points: np.ndarray, cmd: np.ndarray,
