@@ -81,7 +81,14 @@ def privileged_flags(cfg: GlobalConfig, maps, scene: Scene, state: SimState,
                            ego_e[None, None],
                            lights.pos, lights.yaw, lights.extent)
   is_red = (lstate == LightState.RED) | (lstate == LightState.YELLOW)
-  light = jnp.any(lnear & hit & is_red, -1)
+  # nearest affecting light only (see expert_step — diagonal approaches
+  # can face both phase groups)
+  affects = lnear & hit
+  d_aff = jnp.where(affects, jnp.linalg.norm(
+      lights.pos - ego.pos[:, None], axis=-1), jnp.inf)
+  best = jnp.argmin(d_aff, -1)
+  light = jnp.any(affects, -1) & \
+      jnp.take_along_axis(is_red, best[:, None], 1)[:, 0]
 
   stops = scene.stops
   sfacing = jnp.abs(geo.normalize_angle(

@@ -95,8 +95,22 @@ def load_town(name: str, root: str = DEFAULT_ASSETS,
     ppm = float(f.attrs["pixels_per_meter"])
     world_offset = np.asarray(f.attrs["world_offset_in_meters"], np.float32)
 
+  # ground-truth direction hints from every benchmark route XML touching
+  # this town: the keypoint yaws come from the real OpenDRIVE map and
+  # resolve one-way carriageway orientations the raster can't
+  hints = []
+  for bench in ("longest6", "lav", "1_3", "4_6", "debug"):
+    try:
+      for r in load_benchmark_routes(bench, root):
+        if r.town == name:
+          hints.append(np.concatenate(
+              [r.keypoints_xy, r.keypoints_yaw[:, None]], -1))
+    except (OSError, FileNotFoundError):
+      continue
+  hints = np.concatenate(hints) if hints else None
+
   lanes = lg.build_town_lanes(road, ppm, world_offset, yellow=yellow,
-                              rng_seed=rng_seed)
+                              rng_seed=rng_seed, direction_hints=hints)
 
   # junction channel: disks at detected junction nodes
   H, W = road.shape

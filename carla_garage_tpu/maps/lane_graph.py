@@ -245,11 +245,17 @@ def _offset_poly(poly: np.ndarray, lateral: float) -> np.ndarray:
 def build_town_lanes(road: np.ndarray, ppm: float,
                      world_offset: np.ndarray,
                      yellow: np.ndarray | None = None,
-                     rng_seed: int = 0) -> TownLanes:
+                     rng_seed: int = 0,
+                     direction_hints: np.ndarray | None = None
+                     ) -> TownLanes:
   """Extract the full lane network + signalization from a road raster.
 
   road: [H,W] bool full-res (ppm px/m). yellow: optional yellow-marking
   layer (same shape) for two-way detection on US-style towns.
+  direction_hints: optional [K,3] (x, y, yaw) ground-truth travel
+  directions — e.g. the benchmark route XML keypoints, which come from
+  the real OpenDRIVE map — used to orient one-way carriageways the
+  raster geometry alone cannot disambiguate.
   """
   f = max(int(round(ppm)), 1)          # downsample to ~1 m/px for thinning
   pixel_m = f / ppm                    # meters per downsampled pixel
@@ -309,6 +315,17 @@ def build_town_lanes(road: np.ndarray, ppm: float,
       node_out[node_from].append(lid)
     return lid
 
+  # --- phase 1: corridor classification ---
+  # A yellow marking running along the centerline marks a two-way road
+  # (US-style towns); absent that, a one-way carriageway is recognized by
+  # its twin: a parallel road corridor across a median on ONE side. In a
+  # town WITHOUT any yellow markings (Town06-style: all divided
+  # carriageways + ramps), corridors with road on both or neither side
+  # are "unknown" and get their direction by flow-continuity propagation
+  # from oriented neighbors (phase 2) — treating them as two-way would
+  # put oncoming lanes on one-way highways.
+  town_has_yellow = yellow is not None and yellow.sum() > 500
+  corridors = []    # dict(center, half, na, nb, mode) mode: two|one|unk
   for poly_px, na, nb in graph.edges:
     center = _smooth_resample(poly_px * f / ppm + world_offset, step=3.0)
     if len(center) < 2:
@@ -319,42 +336,144 @@ def build_town_lanes(road: np.ndarray, ppm: float,
     half = float(np.median(halfwidth_at(center)))
     if half < 1.2:
       continue                       # too narrow to drive
-    # --- two-way vs one-way carriageway ---
-    # A yellow marking running along the centerline marks a two-way road
-    # (US-style towns); absent that, a one-way carriageway is recognized by
-    # its twin: a parallel road corridor across a median on ONE side. A
-    # road with no twin (or twins on both sides) is two-way.
     yellow_center = False
     if yds is not None:
       yfrac = max(float(np.mean(sample_mask(yds, _offset_poly(center, o))))
                   for o in (-1.0, 0.0, 1.0))
       yellow_center = yfrac > 0.25
-    two_way = True
+    mode = "two"
     if not yellow_center:
-      # twin carriageway = parallel road band within ~20 m beyond the
-      # edge on exactly one side (across a median)
-      probes = np.arange(half + 2.0, half + 22.0, 2.0)
-      nl = nr = votes = 0
+      # twin carriageway probe: first road hit beyond the edge per side.
+      # In yellow-marked towns parallel STREETS sit ~40+ m apart, so the
+      # probe stays short; in no-yellow (all-divided) towns the twin
+      # carriageway itself can be across a ~50 m median (Town06), so
+      # probe much further — there is nothing two-way to confuse it with.
+      reach = 22.0 if town_has_yellow else 60.0
+      probes = np.arange(half + 2.0, half + reach, 2.0)
+      nl = nr = 0
+      first_l, first_r = np.inf, np.inf
       yaws = _poly_yaw(center)
       for frac in (0.3, 0.5, 0.7):
         i = int(len(center) * frac)
         yaw_i = yaws[i]
         left = np.array([np.sin(yaw_i), -np.cos(yaw_i)])
-        nl += int(sample_mask(ds, center[i] + left[None]
-                              * probes[:, None]).sum())
-        nr += int(sample_mask(ds, center[i] - left[None]
-                              * probes[:, None]).sum())
-        votes += 1
-      # a consistent one-sided parallel band => one-way carriageway
-      tot = votes * len(probes)
+        hl = sample_mask(ds, center[i] + left[None] * probes[:, None])
+        hr = sample_mask(ds, center[i] - left[None] * probes[:, None])
+        nl += int(hl.sum())
+        nr += int(hr.sum())
+        if hl.any():
+          first_l = min(first_l, float(probes[np.argmax(hl)]))
+        if hr.any():
+          first_r = min(first_r, float(probes[np.argmax(hr)]))
+      tot = 3 * len(probes)
       if nl >= 0.25 * tot and nr <= 0.08 * tot:
-        two_way = False              # twin already on the left
+        mode = "one"                 # twin already on the left
       elif nr >= 0.25 * tot and nl <= 0.08 * tot:
-        two_way = False
+        mode = "one"
         center = center[::-1]        # flip so the twin is on the left
         na, nb = nb, na
+      elif not town_has_yellow:
+        # divided-carriageway town: prefer the CLOSER parallel band as
+        # the twin (medians are narrower than block gaps); ambiguous
+        # corridors resolve by propagation
+        if np.isfinite(first_l) and (first_l < first_r - 3.0):
+          mode = "one"
+        elif np.isfinite(first_r) and (first_r < first_l - 3.0):
+          mode = "one"
+          center = center[::-1]
+          na, nb = nb, na
+        else:
+          mode = "unk"
+    corridors.append(dict(center=center, half=half, na=na, nb=nb,
+                          mode=mode))
 
-    if two_way:
+  # --- phase 1b: ground-truth direction hints override geometry ---
+  # (only where the corridor is not a confirmed yellow-center two-way:
+  # a hint along a two-way road is just one legal direction of it)
+  if direction_hints is not None and len(direction_hints):
+    hints = np.asarray(direction_hints, np.float32)
+    for c in corridors:
+      if town_has_yellow and c["mode"] == "two":
+        continue
+      center = c["center"]
+      yaws = _poly_yaw(center)
+      d = np.linalg.norm(hints[:, None, :2] - center[None], axis=-1)
+      near = d.min(1) < max(c["half"] + 2.0, 6.0)
+      if not near.any():
+        continue
+      fwd = rev = 0
+      for hi in np.nonzero(near)[0]:
+        ci = int(d[hi].argmin())
+        dy = abs(np.arctan2(np.sin(hints[hi, 2] - yaws[ci]),
+                            np.cos(hints[hi, 2] - yaws[ci])))
+        if dy < 1.05:
+          fwd += 1
+        elif dy > 2.1:
+          rev += 1
+      if fwd and rev:
+        c["mode"] = "two"            # driven both ways => two-way
+      elif fwd:
+        c["mode"] = "one"
+      elif rev:
+        c["mode"] = "one"
+        c["center"] = c["center"][::-1]
+        c["na"], c["nb"] = c["nb"], c["na"]
+
+  # --- phase 2: orient unknown corridors by flow continuity ---
+  def _end_dirs(c):
+    yaws = _poly_yaw(c["center"])
+    return c["center"][0], yaws[0], c["center"][-1], yaws[-1]
+
+  for _ in range(4):
+    changed = False
+    for c in corridors:
+      if c["mode"] != "unk":
+        continue
+      score_fwd = score_rev = 0
+      p0, y0, p1, y1 = _end_dirs(c)
+      for o in corridors:
+        # only ORIENTED neighbors carry flow constraints (two-way
+        # corridors are direction-free and constrain nothing)
+        if o is c or o["mode"] != "one":
+          continue
+        q0, w0, q1, w1 = _end_dirs(o)
+        pairs = [(q1, w1, "out_of_o"), (q0, w0, "into_o")]
+        for q, wy, kind in pairs:
+          # o's end feeds c's start (forward) / c's end (reverse)?
+          if kind == "out_of_o":
+            if np.linalg.norm(q - p0) < 12.0 and \
+               abs(np.arctan2(np.sin(wy - y0), np.cos(wy - y0))) < 1.2:
+              score_fwd += 1
+            if np.linalg.norm(q - p1) < 12.0 and \
+               abs(np.arctan2(np.sin(wy + np.pi - y1),
+                              np.cos(wy + np.pi - y1))) < 1.2:
+              score_rev += 1
+          else:        # c feeds INTO o's start
+            if np.linalg.norm(q - p1) < 12.0 and \
+               abs(np.arctan2(np.sin(wy - y1), np.cos(wy - y1))) < 1.2:
+              score_fwd += 1
+            if np.linalg.norm(q - p0) < 12.0 and \
+               abs(np.arctan2(np.sin(wy + np.pi - y0),
+                              np.cos(wy + np.pi - y0))) < 1.2:
+              score_rev += 1
+      if score_fwd > score_rev:
+        c["mode"] = "one"
+        changed = True
+      elif score_rev > score_fwd:
+        c["mode"] = "one"
+        c["center"] = c["center"][::-1]
+        c["na"], c["nb"] = c["nb"], c["na"]
+        changed = True
+    if not changed:
+      break
+  for c in corridors:
+    if c["mode"] == "unk":
+      c["mode"] = "two"              # safe fallback
+
+  # --- lane emission ---
+  for c in corridors:
+    center, half, na, nb = c["center"], c["half"], c["na"], c["nb"]
+    if c["mode"] == "two":
       n_per = int(np.clip(round(half / LANE_W), 1, 2))
       for k in range(n_per):
         lat = (k + 0.5) / n_per * half

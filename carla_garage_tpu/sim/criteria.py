@@ -160,7 +160,13 @@ def criteria_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
   inside = geo.point_in_obb(
       ego.pos[:, None], lights.pos, lights.yaw,
       lights.extent) & lights.valid & facing_l
-  red_run = inside & (lstate == LightState.RED) & ~cr.red_light_cooldown \
+  # when inside several facing boxes (diagonal junction approach), only
+  # the nearest one scores — matching the expert's one-light semantics
+  ld = jnp.linalg.norm(lights.pos - ego.pos[:, None], axis=-1)
+  d_in = jnp.where(inside, ld, jnp.inf)
+  nearest = jax.nn.one_hot(jnp.argmin(d_in, -1), inside.shape[-1],
+                           dtype=bool) & inside
+  red_run = nearest & (lstate == LightState.RED) & ~cr.red_light_cooldown \
       & (ego.speed > c.blocked_speed_threshold)[:, None]   # crossing = moving
   n_red_new = jnp.sum(red_run, -1).astype(jnp.int32)
   penalty *= jnp.power(c.penalty_traffic_light, n_red_new.astype(jnp.float32))

@@ -364,7 +364,13 @@ def expert_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
                               lights.pos, lights.yaw, lights.extent)
   affects = lnear & (hit_sb | hit_ego)
   is_red = (lstate == LightState.RED) | (lstate == LightState.YELLOW)
-  light_hazard = jnp.any(affects & is_red, -1)
+  # only the NEAREST affecting light governs (one trigger volume per lane
+  # in CARLA) — on diagonal junction approaches the facing cone can match
+  # both phase groups, and "any red" would read as permanently red
+  d_aff = jnp.where(affects, ldist, jnp.inf)
+  best = jnp.argmin(d_aff, -1)
+  light_hazard = jnp.any(affects, -1) & \
+      jnp.take_along_axis(is_red, best[:, None], 1)[:, 0]
 
   # --- stop signs (autopilot.py:1013-1070) ---
   stops = scene.stops
