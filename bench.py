@@ -85,7 +85,7 @@ def measure_sensor_on():
   n_lidar = lid_f.shape[0] * lid_f.shape[1]
   state = state.replace(agent=sensor_agent_reset(CFG, B, n_lidar))
   policy = make_transfuser_policy(model, params, tcfg, cam_grid,
-                                  lid_f, lid_r, direct=True)
+                                  lid_f, lid_r, direct=True, bf16=True)
   run = jax.jit(lambda mp, ln, sc, st: rollout(CFG, mp, ln, sc, st,
                                                SENSOR_TICKS, policy=policy))
   s = run(maps, lanes, scene, state)

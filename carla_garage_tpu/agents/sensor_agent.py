@@ -94,7 +94,8 @@ def make_transfuser_policy(model: LidarCenterNet, params,
                            direct: bool = True, map_track: bool = False,
                            uncertainty_weight: bool = True,
                            brake_threshold: float = 0.5,
-                           stop_control: bool = False):
+                           stop_control: bool = False,
+                           bf16: bool = False):
   """PolicyFn: full sensor pipeline + model + control, jitted in the step.
 
   direct=True uses the classified-target-speed + checkpoint-angle
@@ -182,10 +183,22 @@ def make_transfuser_policy(model: LidarCenterNet, params,
       lidar_bev = jnp.concatenate([lidar_bev] + older, 1)
     lidar_bev = jnp.transpose(lidar_bev, (0, 2, 3, 1))
 
-    # --- model forward (ensemble-averaged, inside the env step) ---
-    outs = [model.apply(p, cam["rgb"], lidar_bev, target_point,
-                        command_onehot(cmd), ego.speed)
-            for p in param_list]
+    # --- model forward (ensemble-averaged, inside the env step).
+    # bf16=True runs the forward in bfloat16 (params + activations; heads
+    # return bf16 logits cast back) — the MXU-native inference precision.
+    def fwd(p):
+      if bf16:
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+        o = model.apply(cast(p), cast(cam["rgb"]), cast(lidar_bev),
+                        cast(target_point), cast(command_onehot(cmd)),
+                        cast(ego.speed))
+        return jax.tree.map(lambda x: x.astype(jnp.float32), o)
+      return model.apply(p, cam["rgb"], lidar_bev, target_point,
+                         command_onehot(cmd), ego.speed)
+
+    outs = [fwd(p) for p in param_list]
     out = jax.tree.map(lambda *xs: sum(xs) / len(xs), *outs)
 
     # --- control (sensor_agent.py:544-557 + model.py:461-554) ---

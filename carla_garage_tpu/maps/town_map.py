@@ -65,6 +65,44 @@ class MapStack:
     val = self.layers[town_id, channel, pyc, pxc]
     return jnp.where(inb, val > 0, False)
 
+  def window(self, town_id: jnp.ndarray, channel: int,
+             center_xy: jnp.ndarray, size_px: int):
+    """Contiguous [B,S,S] window of one channel around per-episode centers.
+
+    One dynamic_slice DMA per episode instead of per-point HBM gathers —
+    the fast path for dense LOCAL sampling (camera/LiDAR ground lookups):
+    random 1-byte gathers from the full [T,C,H,W] stack cost a ~512-byte
+    HBM transaction each, while the window is a linear copy and follow-up
+    gathers hit a small operand. Returns (window [B,S,S], origin_px [B,2])."""
+    import jax
+    p = self.world_to_pixel(town_id, center_xy)        # [B,2] float
+    h, w = self.layers.shape[-2], self.layers.shape[-1]
+    ox = jnp.clip(jnp.round(p[..., 0]).astype(jnp.int32) - size_px // 2,
+                  0, max(w - size_px, 0))
+    oy = jnp.clip(jnp.round(p[..., 1]).astype(jnp.int32) - size_px // 2,
+                  0, max(h - size_px, 0))
+
+    def slice_one(t, y, x):
+      return jax.lax.dynamic_slice(
+          self.layers, (t, channel, y, x),
+          (1, 1, min(size_px, h), min(size_px, w)))[0, 0]
+
+    win = jax.vmap(slice_one)(town_id, oy, ox)
+    return win, jnp.stack([ox, oy], -1)
+
+  @staticmethod
+  def sample_window(win: jnp.ndarray, origin_px: jnp.ndarray,
+                    pix: jnp.ndarray) -> jnp.ndarray:
+    """Sample [B,S,S] windows at float pixel coords pix [B,N,2]
+    (edge-clamped). Returns [B,N] int32 values."""
+    S = win.shape[-1]
+    px = jnp.clip(jnp.round(pix[..., 0]).astype(jnp.int32) -
+                  origin_px[:, None, 0], 0, S - 1)
+    py = jnp.clip(jnp.round(pix[..., 1]).astype(jnp.int32) -
+                  origin_px[:, None, 1], 0, S - 1)
+    return jnp.take_along_axis(
+        win.reshape(win.shape[0], -1), py * S + px, axis=1).astype(jnp.int32)
+
   def sample_value(self, town_id: jnp.ndarray, channel: int,
                    xy: jnp.ndarray) -> jnp.ndarray:
     """Raw uint8 raster value (0 out of bounds). xy [..,2] -> [..]."""

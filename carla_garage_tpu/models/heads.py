@@ -127,11 +127,16 @@ class GRUWaypointsPredictorInterFuser(nn.Module):
   @nn.compact
   def __call__(self, tokens, target_point):
     """tokens [B,pred_len,C], target_point [B,2] -> [B,pred_len,2]."""
+    # tiny head: run in fp32 even under a bf16 backbone (the scan carry
+    # must be dtype-stable, and mixed promotion inside GRUCell breaks it)
+    tokens = tokens.astype(jnp.float32)
     B = tokens.shape[0]
     if self.target_point_size > 0:
-      h0 = nn.Dense(self.hidden_size, name="encoder")(target_point)
+      h0 = nn.Dense(self.hidden_size, name="encoder")(
+          target_point.astype(jnp.float32))
     else:
       h0 = jnp.zeros((B, self.hidden_size))
+    h0 = h0.astype(jnp.float32)
     gru = nn.RNN(nn.GRUCell(features=self.hidden_size, name="gru"),
                  return_carry=False)
     h = gru(tokens, initial_carry=h0)

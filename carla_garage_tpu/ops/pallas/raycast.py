@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROWS = 8           # ray-tile rows (sublane)
+ROWS = 64          # ray-tile rows: big tiles amortize the per-box scalar
+                   # loads + loop overhead over 8x more vector work
 LANES = 128        # ray-tile columns (lane)
 NFIELDS = 9        # cx, cy, cos, sin, ex, ey, ez, cls, valid
 

@@ -63,9 +63,15 @@ def render_camera(cfg: GlobalConfig, maps: MapStack, scene: Scene,
       [jnp.broadcast_to(cam_xy, (B, dxy.shape[1], 2)),
        jnp.full((B, dxy.shape[1], 1), sc.camera_pos[2])], -1)
 
-  out = cast_rays(cfg, maps, scene, state, origins, dirs)
+  out = cast_rays(cfg, maps, scene, state, origins, dirs,
+                  grid_hw=(H, W), ground_subsample=4)
   sem = out["sem"].reshape(B, H, W)
   depth = out["depth"].reshape(B, H, W)
   shade = 1.0 / (1.0 + 0.02 * depth)
-  rgb = jnp.asarray(PALETTE)[sem] * shade[..., None]
+  # palette lookup as one-hot matmul: a per-pixel gather costs ~12 ns/elem
+  # on TPU; one_hot+matmul rides the MXU instead
+  import jax
+  rgb = jax.nn.one_hot(sem, PALETTE.shape[0],
+                       dtype=jnp.float32) @ jnp.asarray(PALETTE)
+  rgb = rgb * shade[..., None]
   return {"rgb": rgb, "semantic": sem, "depth": depth}

@@ -61,7 +61,7 @@ def render_lidar(cfg: GlobalConfig, maps: MapStack, scene: Scene,
       [jnp.broadcast_to(lid_xy, (B, N, 2)),
        jnp.full((B, N, 1), sc.lidar_pos[2])], -1)
   out = cast_rays(cfg, maps, scene, state, origins, dirs,
-                  max_range=RANGE_M)
+                  max_range=RANGE_M, need_ground_sem=False)
   depth = out["depth"]
   hit = depth < RANGE_M - 1e-3
   keep = jax.random.uniform(rng, (B, N)) > DROPOFF_RATE

@@ -97,13 +97,22 @@ def _gather_boxes(cfg: GlobalConfig, scene: Scene, state: SimState):
 
 def cast_rays(cfg: GlobalConfig, maps: MapStack, scene: Scene,
               state: SimState, origins: jnp.ndarray, dirs: jnp.ndarray,
-              max_range: float = MAX_DEPTH, use_pallas: bool | None = None):
+              max_range: float = MAX_DEPTH, use_pallas: bool | None = None,
+              need_ground_sem: bool = True, grid_hw=None,
+              ground_subsample: int = 1):
   """origins/dirs [B,N,3] world frame -> dict(depth [B,N], sem [B,N]).
 
   Box intersections run in the Pallas raycast kernel on TPU (rays tiled in
   VMEM, boxes in SMEM); the dense XLA path below is the reference/fallback.
   Note: the kernel assumes one ray origin per episode (true for camera and
   LiDAR mounts).
+
+  Per-ray random gathers cost ~12 ns each on TPU, so the ground SEMANTIC
+  lookup — not the math — dominates sensor latency. Two controls:
+  need_ground_sem=False skips it entirely (LiDAR needs only depth);
+  ground_subsample=s with grid_hw=(H, W) samples the ground class on an
+  s-strided grid and nearest-upsamples (ground classes are piecewise
+  constant at multi-pixel scale; box classes stay full-res).
   """
   import jax as _jax
   veh, wlk = state.vehicles, state.walkers
@@ -111,18 +120,35 @@ def cast_rays(cfg: GlobalConfig, maps: MapStack, scene: Scene,
   if use_pallas is None:
     use_pallas = _jax.devices()[0].platform != "cpu"
 
-  # --- ground plane (shared): single precomputed-semantic gather ---
   dz_ = dirs[..., 2]
   t_ground = jnp.where(dz_ < -1e-6, -origins[..., 2] / dz_, jnp.inf)
-  gpt = origins[..., :2] + dirs[..., :2] * t_ground[..., None]
-  town = scene.town_id[:, None]
-  ground_sem = maps.sample_value(town, Layer.GROUND_SEM, gpt)
+  if need_ground_sem:
+    gpt = origins[..., :2] + dirs[..., :2] * t_ground[..., None]
+    # windowed lookup: one contiguous window DMA per episode, then a
+    # small-operand gather (512 px = 128 m at 4 px/m; farther rays clamp
+    # to the edge — sub-pixel horizon rows)
+    win, origin_px = maps.window(scene.town_id, Layer.GROUND_SEM,
+                                 state.ego.pos, 512)
+    s = ground_subsample
+    if s > 1 and grid_hw is not None:
+      H, W = grid_hw
+      g = gpt.reshape(B, H, W, 2)[:, ::s, ::s]
+      hs, ws = g.shape[1], g.shape[2]
+      pix = maps.world_to_pixel(scene.town_id[:, None], g.reshape(B, -1, 2))
+      gs = MapStack.sample_window(win, origin_px, pix).reshape(B, hs, ws)
+      gs = jnp.repeat(jnp.repeat(gs, s, 1), s, 2)[:, :H, :W]
+      ground_sem = gs.reshape(B, N)
+    else:
+      pix = maps.world_to_pixel(scene.town_id[:, None], gpt)
+      ground_sem = MapStack.sample_window(win, origin_px, pix)
+  else:
+    ground_sem = jnp.full((B, N), Sem.ROAD, jnp.int32)
   best_t = t_ground
   best_sem = jnp.where(jnp.isfinite(t_ground), ground_sem, Sem.SKY)
 
   if use_pallas:
     from carla_garage_tpu.ops.pallas.raycast import raycast_boxes
-    TILE_N = 1024
+    TILE_N = 8192
     Np = -(-N // TILE_N) * TILE_N
     dirs_p = jnp.concatenate(
         [dirs, jnp.broadcast_to(jnp.array([1.0, 0.0, 1.0]),

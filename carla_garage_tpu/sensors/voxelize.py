@@ -54,12 +54,15 @@ def voxelize_matmul(points: jnp.ndarray, valid: jnp.ndarray,
   cy = ((y - sc.min_y) / (sc.max_y - sc.min_y) * H).astype(jnp.int32)
   inb = valid & (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
   below = z <= sc.lidar_split_height
-  oy = jax.nn.one_hot(jnp.where(inb, cy, -1), H, dtype=jnp.float32)  # [P,H]
-  ox = jax.nn.one_hot(jnp.where(inb, cx, -1), W, dtype=jnp.float32)  # [P,W]
+  # bf16 one-hots are exact (values 0/1) and the MXU accumulates in fp32,
+  # so integer counts stay exact while the matmul runs at full MXU rate
+  oy = jax.nn.one_hot(jnp.where(inb, cy, -1), H, dtype=jnp.bfloat16)
+  ox = jax.nn.one_hot(jnp.where(inb, cx, -1), W, dtype=jnp.bfloat16)
 
   def hist(mask):
-    counts = jnp.einsum("ph,pw->hw", oy * mask[:, None].astype(jnp.float32),
-                        ox, precision=jax.lax.Precision.HIGHEST)
+    counts = jnp.einsum(
+        "ph,pw->hw", oy * mask[:, None].astype(jnp.bfloat16), ox,
+        preferred_element_type=jnp.float32)
     counts = jnp.minimum(counts, sc.hist_max_per_pixel)
     return counts / sc.hist_max_per_pixel
 
