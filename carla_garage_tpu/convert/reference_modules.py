@@ -45,10 +45,21 @@ def _ensure_stub(name: str):
 
 
 def load_reference_module(name: str):
-  """Import a module from /root/reference/team_code with stubbed deps."""
+  """Import a module from /root/reference/team_code with stubbed deps.
+
+  Stubs are removed from sys.modules afterwards: the loaded reference
+  modules keep their references, but other libraries (e.g. transformers'
+  cv2 feature detection) must not see the fakes."""
+  inserted = []
   for s in _STUBS:
-    _ensure_stub(s)
+    if s not in sys.modules:
+      _ensure_stub(s)
+      inserted.append(s)
   if REFERENCE_TEAM_CODE not in sys.path:
     sys.path.insert(0, REFERENCE_TEAM_CODE)
   import importlib
-  return importlib.import_module(name)
+  try:
+    return importlib.import_module(name)
+  finally:
+    for s in inserted:
+      sys.modules.pop(s, None)
