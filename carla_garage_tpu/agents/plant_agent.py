@@ -186,7 +186,9 @@ def make_plant_policy(model: PlanT, params, pcfg: PlanTConfig,
   instead of the waypoint controller."""
   target_speeds = jnp.array([0.0, 2.0, 5.0, 8.0])
 
-  def policy(cfg: GlobalConfig, maps, scene: Scene, state: SimState, rng):
+  def policy(cfg: GlobalConfig, maps, scene: Scene, state: SimState, rng,
+             params_rt=None):
+    params_ = params_rt if params_rt is not None else params
     ag: PlanTAgentState = state.agent
     ego = state.ego
     pl_dense = jax.vmap(lambda st, pts, sl, nv, p: planner_step(
@@ -208,7 +210,7 @@ def make_plant_policy(model: PlanT, params, pcfg: PlanTConfig,
     route = extract_route(pcfg, scene, state, pl_dense.idx)
     light, stop, junction, cleared = privileged_flags(
         cfg, maps, scene, state, ag.cleared_stop_signs, pl_dense.idx)
-    out = model.apply(params, boxes, box_types, route, light, stop,
+    out = model.apply(params_, boxes, box_types, route, light, stop,
                       junction, ego.speed)
     if direct:
       probs = jax.nn.softmax(out["pred_target_speed"])

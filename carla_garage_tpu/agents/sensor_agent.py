@@ -116,12 +116,18 @@ def make_transfuser_policy(model: LidarCenterNet, params,
   inside it before proceeding.
 
   `params` may be a single param pytree or a LIST of pytrees — an ensemble
-  whose outputs are averaged (sensor_agent.py:114-131, :487-495).
+  whose outputs are averaged (sensor_agent.py:114-131, :487-495). It may
+  also be None: then the weights MUST be supplied at call time through the
+  rollout functions' `policy_params` argument, which keeps them out of the
+  jitted program's constants (multi-MB weight constants make remote XLA
+  compiles pathological — pass them as args).
   """
   target_speeds = jnp.array([0.0, 2.0, 5.0, 8.0])   # config.py:148
-  param_list = params if isinstance(params, (list, tuple)) else [params]
 
-  def policy(cfg: GlobalConfig, maps, scene: Scene, state: SimState, rng):
+  def policy(cfg: GlobalConfig, maps, scene: Scene, state: SimState, rng,
+             params_rt=None):
+    p_in = params_rt if params_rt is not None else params
+    param_list = p_in if isinstance(p_in, (list, tuple)) else [p_in]
     ag: SensorAgentState = state.agent
     ego = state.ego
     B = ego.yaw.shape[0]

@@ -31,7 +31,9 @@ def _ensure_stub(name: str):
   if name == "PIL.Image":
     mod.Image = object
   if name == "imgaug.augmenters":
-    mod.SomeOf = mod.Sequential = lambda *a, **k: None
+    # data.py builds augmentation pipelines at CARLA_Data init; any
+    # augmenter name must resolve to a dummy callable
+    mod.__getattr__ = lambda attr: (lambda *a, **k: None)
   if name == "timm.models.layers":
     mod.DropPath = object
     mod.trunc_normal_ = lambda *a, **k: None

@@ -45,7 +45,12 @@ class AffineNorm(nn.Module):
 def make_norm(norm: str, width: int, name: str):
   if norm == "bn_affine":
     return AffineNorm(name=name)
-  return nn.GroupNorm(num_groups=min(32, width), name=name)
+  # largest divisor of width <= 32 (regnety_032 widths 72/216/1512 are not
+  # multiples of 32; micro widths keep their previous min(32, width) groups)
+  g = min(32, width)
+  while width % g:
+    g -= 1
+  return nn.GroupNorm(num_groups=g, name=name)
 
 
 class SqueezeExcite(nn.Module):
@@ -75,7 +80,10 @@ class YBlock(nn.Module):
     h = nn.Conv(self.width, (1, 1), use_bias=False, name="conv1")(x)
     h = make_norm(self.norm, self.width, "norm1")(h)
     h = nn.relu(h)
+    # explicit torch-style padding: flax SAME pads (0,1) for stride-2 3x3,
+    # torch Conv2d(padding=1) pads (1,1) — they only agree at stride 1
     h = nn.Conv(self.width, (3, 3), strides=(self.stride, self.stride),
+                padding=((1, 1), (1, 1)),
                 feature_group_count=groups, use_bias=False, name="conv2")(h)
     h = make_norm(self.norm, self.width, "norm2")(h)
     h = nn.relu(h)
@@ -95,8 +103,8 @@ class RegNetYStem(nn.Module):
 
   @nn.compact
   def __call__(self, x):
-    h = nn.Conv(self.stem_w, (3, 3), strides=(2, 2), use_bias=False,
-                name="conv")(x)
+    h = nn.Conv(self.stem_w, (3, 3), strides=(2, 2),
+                padding=((1, 1), (1, 1)), use_bias=False, name="conv")(x)
     h = make_norm(self.norm, self.stem_w, "norm")(h)
     return nn.relu(h)
 

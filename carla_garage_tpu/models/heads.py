@@ -59,6 +59,9 @@ class CenterNetHead(nn.Module):
   num_classes: int = 4
   feat_channels: int = 64
   num_dir_bins: int = 12
+  # the reference only builds velocity/brake branches for temporal configs
+  # (center_net.py:67-72: seq lens != 1); pretrained TF++ drop-ins lack them
+  with_velocity_brake: bool = True
 
   def _branch(self, x, out, name, bias_init=0.0):
     # hidden width = input width (center_net._build_head: Conv(in, in, 3))
@@ -72,15 +75,17 @@ class CenterNetHead(nn.Module):
     # heatmap bias init so initial p ~ 0.1 (center_net bias_init_with_prob)
     import math
     prior = -math.log((1 - 0.1) / 0.1)
-    return {
+    out = {
         "heatmap": self._branch(x, self.num_classes, "heatmap", prior),
         "wh": self._branch(x, 2, "wh"),
         "offset": self._branch(x, 2, "offset"),
         "yaw_class": self._branch(x, self.num_dir_bins, "yaw_class"),
         "yaw_res": self._branch(x, 1, "yaw_res"),
-        "velocity": self._branch(x, 1, "velocity"),
-        "brake": self._branch(x, 2, "brake"),
     }
+    if self.with_velocity_brake:
+      out["velocity"] = self._branch(x, 1, "velocity")
+      out["brake"] = self._branch(x, 2, "brake")
+    return out
 
 
 class GRUWaypointsPredictorTransFuser(nn.Module):

@@ -56,7 +56,9 @@ class TransfuserConfig:
   num_bb_classes: int = 4
   num_dir_bins: int = 12
   target_speed_bins: int = 4
+  bb_velocity_brake: bool = True     # center_net.py:67-72 temporal-only
   use_wp_gru: bool = False
+  normalize_imagenet: bool = False   # pretrained drop-ins (config.py:369)
   use_controller_input_prediction: bool = True
   use_velocity: bool = True
   use_semantic: bool = True
@@ -90,6 +92,11 @@ class TransfuserBackbone(nn.Module):
                                                    arch_spec)
     c = self.cfg
     ispec, lspec = arch_spec(c.image_arch), arch_spec(c.lidar_arch)
+    if c.normalize_imagenet:
+      # t_u.normalize_imagenet (transfuser_utils.py:542): inputs in [0,1]
+      mean = jnp.asarray([0.485, 0.456, 0.406], rgb.dtype)
+      std = jnp.asarray([0.229, 0.224, 0.225], rgb.dtype)
+      rgb = (rgb - mean) / std
     img = RegNetYStem(ispec["stem_w"], norm=self.norm,
                       name="image_stem")(rgb)
     lid = RegNetYStem(lspec["stem_w"], norm=self.norm,
@@ -200,5 +207,6 @@ class LidarCenterNet(nn.Module):
     if c.detect_boxes:
       out["pred_bb"] = CenterNetHead(
           c.num_bb_classes, num_dir_bins=c.num_dir_bins,
+          with_velocity_brake=c.bb_velocity_brake,
           name="centernet")(bev_grid)
     return out

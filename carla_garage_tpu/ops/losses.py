@@ -12,19 +12,27 @@ import jax.numpy as jnp
 import optax
 
 
-def cross_entropy(logits, labels, weights=None, label_smoothing=0.0):
-  """CE over the last axis; labels int [..]. Per-class weights [C] optional.
-  Returns mean over all elements (weighted)."""
+def cross_entropy(logits, labels, weights=None, label_smoothing=0.0,
+                  sample_weight=None):
+  """CE over the last axis; labels int [..]. Per-class weights [C] optional;
+  sample_weight broadcasts against the label shape (e.g. [B] per-sample
+  quality gates). Returns mean over all elements (weighted)."""
   num = logits.shape[-1]
   lab = jax.nn.one_hot(labels, num)
   if label_smoothing > 0:
     lab = lab * (1 - label_smoothing) + label_smoothing / num
   logp = jax.nn.log_softmax(logits)
   ce = -jnp.sum(lab * logp, -1)
+  if weights is None and sample_weight is None:
+    return jnp.mean(ce)
+  w = jnp.ones_like(ce)
   if weights is not None:
-    w = jnp.asarray(weights)[labels]
-    return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1e-6)
-  return jnp.mean(ce)
+    w = w * jnp.asarray(weights)[labels]
+  if sample_weight is not None:
+    sw = sample_weight.reshape(sample_weight.shape +
+                               (1,) * (ce.ndim - sample_weight.ndim))
+    w = w * sw
+  return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1e-6)
 
 
 def focal_ce(logits, labels, gamma=2.0, weights=None):

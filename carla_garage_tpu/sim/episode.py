@@ -40,10 +40,20 @@ def freeze_done(done: jnp.ndarray, old, new):
 
 def sim_step(cfg: GlobalConfig, maps: MapStack, lanes: LaneGraph,
              scene: Scene, state: SimState,
-             policy: PolicyFn = expert_step) -> SimState:
-  """Advance the whole batch one tick."""
+             policy: PolicyFn = expert_step,
+             policy_params=None) -> SimState:
+  """Advance the whole batch one tick.
+
+  policy_params: optional pytree (e.g. model weights) forwarded to the
+  policy as a 6th argument. Passing weights THROUGH the jit boundary
+  instead of closing over them keeps them out of the compiled program's
+  constants (multi-MB constants make remote XLA compiles pathological)."""
   rng, rng_step, rng_scn = jax.random.split(state.rng, 3)
-  control, updates = policy(cfg, maps, scene, state, rng_step)
+  if policy_params is not None:
+    control, updates = policy(cfg, maps, scene, state, rng_step,
+                              policy_params)
+  else:
+    control, updates = policy(cfg, maps, scene, state, rng_step)
 
   # scenario triggers + effects (srunner behavior-tree analog)
   effects = None
@@ -75,17 +85,19 @@ def sim_step(cfg: GlobalConfig, maps: MapStack, lanes: LaneGraph,
 
 def rollout(cfg: GlobalConfig, maps: MapStack, lanes: LaneGraph,
             scene: Scene, state: SimState, n_ticks: int,
-            policy: PolicyFn = expert_step) -> SimState:
+            policy: PolicyFn = expert_step, policy_params=None) -> SimState:
   """Run n_ticks of simulation as a lax.scan (jit-compatible)."""
   def body(st, _):
-    return sim_step(cfg, maps, lanes, scene, st, policy), None
+    return sim_step(cfg, maps, lanes, scene, st, policy,
+                    policy_params), None
   final, _ = jax.lax.scan(body, state, None, length=n_ticks)
   return final
 
 
 def rollout_recorded(cfg: GlobalConfig, maps: MapStack, lanes: LaneGraph,
                      scene: Scene, state: SimState, n_ticks: int,
-                     every: int = 10, policy: PolicyFn = expert_step):
+                     every: int = 10, policy: PolicyFn = expert_step,
+                     policy_params=None):
   """Rollout that also records a decimated trajectory log — the
   ScenarioLogger analog (scenario_logger.py:13-82: every 10th frame,
   nearby-actor ROI) for replay clips and infraction maps.
@@ -120,7 +132,7 @@ def rollout_recorded(cfg: GlobalConfig, maps: MapStack, lanes: LaneGraph,
   def frame(st, _):
     st = jax.lax.fori_loop(
         0, every, lambda i, s2: sim_step(cfg, maps, lanes, scene, s2,
-                                         policy), st)
+                                         policy, policy_params), st)
     return st, snap(st)
 
   final, traj = jax.lax.scan(frame, state, None, length=n_ticks // every)
@@ -130,7 +142,8 @@ def rollout_recorded(cfg: GlobalConfig, maps: MapStack, lanes: LaneGraph,
 def rollout_chunked(cfg: GlobalConfig, maps: MapStack, lanes: LaneGraph,
                     scene: Scene, state: SimState, max_ticks: int,
                     chunk: int = 256, policy: PolicyFn = expert_step,
-                    watchdog_s: float | None = 1800.0) -> SimState:
+                    watchdog_s: float | None = 1800.0,
+                    policy_params=None) -> SimState:
   """Host-side chunked rollout with early exit once every episode is done.
 
   Long routes need ~24k ticks (SURVEY.md §7 risks); a chunked while-loop
@@ -145,10 +158,12 @@ def rollout_chunked(cfg: GlobalConfig, maps: MapStack, lanes: LaneGraph,
   from carla_garage_tpu.utils.watchdog import Watchdog
 
   @jax.jit
-  def run_chunk(maps_, lanes_, scene_, state_):
-    # maps/lanes as ARGUMENTS: town rasters can be GBs — closing over them
-    # would embed them as compile-time constants in the executable
-    return rollout(cfg, maps_, lanes_, scene_, state_, chunk, policy)
+  def run_chunk(maps_, lanes_, scene_, state_, params_):
+    # maps/lanes/model params as ARGUMENTS: town rasters and weight trees
+    # can be GBs — closing over them would embed them as compile-time
+    # constants in the executable
+    return rollout(cfg, maps_, lanes_, scene_, state_, chunk, policy,
+                   policy_params=params_)
 
   wd = Watchdog(watchdog_s) if watchdog_s else None
   if wd:
@@ -156,7 +171,7 @@ def rollout_chunked(cfg: GlobalConfig, maps: MapStack, lanes: LaneGraph,
   try:
     ticks = 0
     while ticks < max_ticks:
-      state = run_chunk(maps, lanes, scene, state)
+      state = run_chunk(maps, lanes, scene, state, policy_params)
       jax.block_until_ready(state.done)
       if wd:
         wd.update()                      # re-arm once per completed chunk

@@ -176,29 +176,41 @@ def transfuser_loss(cfg: GlobalConfig, tcfg: TransfuserConfig,
   out = model.apply(params, batch["rgb"], batch["lidar_bev"],
                     batch["target_point"], batch["command_onehot"],
                     batch["speed"])
+  out = jax.tree.map(lambda x: x.astype(jnp.float32), out)
+  # per-sample quality weights [B] (the reference drops non-perfect expert
+  # routes from the dataset, data.py:91-95; post-done frames weigh 0)
+  sw = batch.get("sample_w")
+  if sw is None:
+    sw = jnp.ones_like(batch["speed"])
+  swn = jnp.maximum(jnp.sum(sw), 1e-6)
+
+  def wmean(x):
+    per = x.reshape(x.shape[0], -1).mean(1)
+    return jnp.sum(per * sw) / swn
+
   losses = {}
-  losses["checkpoint"] = jnp.mean(
+  losses["checkpoint"] = wmean(
       jnp.abs(out["pred_checkpoint"] - batch["ckpt_label"]))
   losses["target_speed"] = cross_entropy(
       out["pred_target_speed"], batch["speed_label"],
-      weights=SPEED_WEIGHTS, label_smoothing=0.1)
+      weights=SPEED_WEIGHTS, label_smoothing=0.1, sample_weight=sw)
   if "pred_wp" in out:
-    losses["wp"] = jnp.mean(jnp.abs(out["pred_wp"] - batch["wp_label"]))
+    losses["wp"] = wmean(jnp.abs(out["pred_wp"] - batch["wp_label"]))
   if "pred_semantic" in out:
     losses["semantic"] = cross_entropy(out["pred_semantic"],
-                                       batch["semantic"])
+                                       batch["semantic"], sample_weight=sw)
   if "pred_depth" in out:
-    losses["depth"] = jnp.mean(jnp.abs(out["pred_depth"] -
-                                       batch["depth_norm"]))
+    losses["depth"] = wmean(jnp.abs(out["pred_depth"] -
+                                    batch["depth_norm"]))
   if "pred_bev_semantic" in out:
     bev_lab = batch["bev_semantic_ds"]
     losses["bev_semantic"] = cross_entropy(out["pred_bev_semantic"],
-                                           bev_lab)
+                                           bev_lab, sample_weight=sw)
   if "pred_bb" in out:
     bb = out["pred_bb"]
     tgt = batch["centernet"]
     pred_heat = jax.nn.sigmoid(bb["heatmap"])
-    losses["center_heatmap"] = jnp.mean(
+    losses["center_heatmap"] = wmean(
         det.gaussian_focal_loss(pred_heat, tgt["heatmap"]))
     h, w = bb["wh"].shape[1:3]
     ix = jnp.clip(tgt["center"][..., 0].astype(jnp.int32), 0, w - 1)
@@ -208,7 +220,7 @@ def transfuser_loss(cfg: GlobalConfig, tcfg: TransfuserConfig,
       flat = m.reshape(m.shape[0], h * w, -1)
       return jnp.take_along_axis(flat, (iy * w + ix)[..., None], 1)
 
-    mask = tgt["mask"]
+    mask = tgt["mask"] & (sw[:, None] > 0)
     losses["wh"] = l1_masked(gather(bb["wh"]), tgt["wh"], mask)
     off_t = tgt["center"] - jnp.floor(tgt["center"])
     losses["offset"] = l1_masked(gather(bb["offset"]), off_t, mask)
@@ -242,17 +254,22 @@ def transfuser_loss(cfg: GlobalConfig, tcfg: TransfuserConfig,
 def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,
                                model: LidarCenterNet, tx, maps, scene,
                                frames: Frames, camera_grid, lidar_grid,
-                               learn_loss_weights: bool = False):
+                               learn_loss_weights: bool = False,
+                               bf16: bool = False):
   """Returns (train_step, eval_step, wp_valid).
 
-  train_step is a jitted (trainable, opt_state, f_idx, rng) -> ... step
-  that renders the frame's sensors + labels on the fly — no stored
-  dataset. With learn_loss_weights the trainable is (params, log_vars)
-  Kendall-weighted. eval_step(params, f_idx, rng) computes validation
-  losses plus semantic/BEV-semantic mIoU (train.py:822-843)."""
-  wp, wp_valid = waypoint_labels(frames)
-  speed_cls = target_speed_labels(frames, cfg)
-  ckpt = checkpoint_labels(frames, scene, tcfg.checkpoint_len)
+  train_step is a jitted (trainable, opt_state, f_idx, rng, maps, scene,
+  frames) -> ... step that renders the frame's sensors + labels on the fly
+  — no stored dataset. maps/scene/frames are passed THROUGH the jit as
+  arguments (NOT closed over: MB-scale arrays baked as compile-time
+  constants make remote XLA compiles pathologically slow). With
+  learn_loss_weights the trainable is (params, log_vars) Kendall-weighted.
+  eval_step(params, f_idx, rng, maps, scene, frames) computes validation
+  losses plus semantic/BEV-semantic mIoU (train.py:822-843).
+
+  bf16=True renders + runs the model forward/backward in bfloat16 (params
+  and optimizer state stay f32 — mixed precision as the MXU wants it)."""
+  _, wp_valid = waypoint_labels(frames)
   # detection grid = BEV feature grid at stride 4 (the reference's top_down
   # output, bev_down_sample_factor=4, transfuser.py:114-137)
   grid_hw = (tcfg.lidar_h // 4, tcfg.lidar_w // 4)
@@ -260,8 +277,8 @@ def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,
   # (the head now upsamples to the model's full lidar res, model.py:74-91)
   bev_ds = cfg.sensor.lidar_resolution_height // tcfg.lidar_h
 
-  def make_batch(f_idx, rng):
-    rendered = render_frame_batch(cfg, maps, scene, frames, f_idx,
+  def make_batch(maps_, scene_, frames_, f_idx, rng):
+    rendered = render_frame_batch(cfg, maps_, scene_, frames_, f_idx,
                                   camera_grid, lidar_grid, rng)
     batch = dict(rendered)
     # velocity-input dropout: zero the measured speed for 15% of samples so
@@ -273,41 +290,57 @@ def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,
     batch["speed"] = jnp.where(drop, 0.0, rendered["speed"])
     batch["depth_norm"] = rendered["depth"] / 85.0
     batch["command_onehot"] = command_onehot(rendered["command"])
-    batch["wp_label"] = wp[f_idx]
-    batch["ckpt_label"] = ckpt[f_idx]
-    batch["speed_label"] = speed_cls[f_idx]
+    wp_, _ = waypoint_labels(frames_)
+    batch["wp_label"] = wp_[f_idx]
+    batch["ckpt_label"] = checkpoint_labels(
+        frames_, scene_, tcfg.checkpoint_len)[f_idx]
+    batch["speed_label"] = target_speed_labels(frames_, cfg)[f_idx]
     batch["bev_semantic_ds"] = rendered["bev_semantic"][
         :, ::bev_ds, ::bev_ds].astype(jnp.int32)
     batch["centernet"] = centernet_targets(cfg, tcfg, batch, grid_hw)
+    batch["sample_w"] = frames_.alive[f_idx].astype(jnp.float32)
+    if bf16:
+      for k in ("rgb", "lidar_bev"):
+        batch[k] = batch[k].astype(jnp.bfloat16)
     return batch
 
-  def make_flat_batch(f_idx, rng):
+  def make_flat_batch(maps_, scene_, frames_, f_idx, rng):
     # f_idx [K] frame indices — sequential renders, concatenated batch
     rngs = jax.random.split(rng, f_idx.shape[0])
-    batches = jax.lax.map(lambda a: make_batch(a[0], a[1]), (f_idx, rngs))
+    batches = jax.lax.map(
+        lambda a: make_batch(maps_, scene_, frames_, a[0], a[1]),
+        (f_idx, rngs))
     return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), batches)
 
-  def loss_fn(trainable, f_idx, rng):
-    batch = make_flat_batch(f_idx, rng)
+  def cast_params(p):
+    if not bf16:
+      return p
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, p)
+
+  def loss_fn(trainable, f_idx, rng, maps_, scene_, frames_):
+    batch = make_flat_batch(maps_, scene_, frames_, f_idx, rng)
     if learn_loss_weights:
       params, log_vars = trainable
-      return transfuser_loss(cfg, tcfg, model, params, batch,
+      return transfuser_loss(cfg, tcfg, model, cast_params(params), batch,
                              log_vars=log_vars)
-    return transfuser_loss(cfg, tcfg, model, trainable, batch)
+    return transfuser_loss(cfg, tcfg, model, cast_params(trainable), batch)
 
   @jax.jit
-  def train_step(trainable, opt_state, f_idx, rng):
+  def train_step(trainable, opt_state, f_idx, rng, maps_, scene_, frames_):
     (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        trainable, f_idx, rng)
+        trainable, f_idx, rng, maps_, scene_, frames_)
+    grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
     updates, opt_state = tx.update(grads, opt_state, trainable)
     trainable = optax.apply_updates(trainable, updates)
     return trainable, opt_state, aux
 
   @jax.jit
-  def eval_step(params, f_idx, rng):
-    batch = make_flat_batch(f_idx, rng)
-    _, aux = transfuser_loss(cfg, tcfg, model, params, batch)
-    out = model.apply(params, batch["rgb"], batch["lidar_bev"],
+  def eval_step(params, f_idx, rng, maps_, scene_, frames_):
+    batch = make_flat_batch(maps_, scene_, frames_, f_idx, rng)
+    _, aux = transfuser_loss(cfg, tcfg, model, cast_params(params), batch)
+    out = model.apply(cast_params(params), batch["rgb"], batch["lidar_bev"],
                       batch["target_point"], batch["command_onehot"],
                       batch["speed"])
     if "pred_semantic" in out:
@@ -330,7 +363,8 @@ def train_transfuser(cfg: GlobalConfig, tcfg: TransfuserConfig, maps, scene,
                      freeze_backbone: bool = False,
                      schedule: str | None = "multistep",
                      learn_loss_weights: bool = False,
-                     val_fraction: float = 0.1):
+                     val_fraction: float = 0.1,
+                     bf16: bool = False, frames_per_step: int = 2):
   """On-device training loop over collected frames.
 
   freeze_backbone freezes the image branch for two-stage training
@@ -358,7 +392,7 @@ def train_transfuser(cfg: GlobalConfig, tcfg: TransfuserConfig, maps, scene,
         {"train": tx, "frozen": optax.set_to_zero()}, label_fn)
   step_fn, eval_fn, wp_valid = make_transfuser_train_step(
       cfg, tcfg, model, tx, maps, scene, frames, camera_grid, lidar_grid,
-      learn_loss_weights=learn_loss_weights)
+      learn_loss_weights=learn_loss_weights, bf16=bf16)
   if learn_loss_weights:
     from carla_garage_tpu.train.schedules import init_log_vars
     trainable = (params, init_log_vars(tuple(LOSS_WEIGHTS)))
@@ -372,9 +406,11 @@ def train_transfuser(cfg: GlobalConfig, tcfg: TransfuserConfig, maps, scene,
   usable = usable[:len(usable) - n_val] if n_val else usable
   history = []
   for i in range(steps):
-    f_idx = jnp.asarray(np_rng.choice(usable, size=2), jnp.int32)
+    f_idx = jnp.asarray(np_rng.choice(usable, size=frames_per_step),
+                        jnp.int32)
     rng, sub = jax.random.split(rng)
-    trainable, opt_state, aux = step_fn(trainable, opt_state, f_idx, sub)
+    trainable, opt_state, aux = step_fn(trainable, opt_state, f_idx, sub,
+                                        maps, scene, frames)
     if i % log_every == 0 or i == steps - 1:
       history.append({k: float(v) for k, v in aux.items()})
   params = trainable[0] if learn_loss_weights else trainable
@@ -382,7 +418,8 @@ def train_transfuser(cfg: GlobalConfig, tcfg: TransfuserConfig, maps, scene,
     sums, n = {}, 0
     for j in range(0, min(len(val_idx), 8), 2):
       rng, sub = jax.random.split(rng)
-      aux = eval_fn(params, jnp.asarray(val_idx[j:j + 2], jnp.int32), sub)
+      aux = eval_fn(params, jnp.asarray(val_idx[j:j + 2], jnp.int32), sub,
+                    maps, scene, frames)
       for k, v in aux.items():
         sums[k] = sums.get(k, 0.0) + float(v)
       n += 1

@@ -1,8 +1,20 @@
-"""End-to-end sensor-fusion product loop (BASELINE config 3):
-expert datagen -> TransFuser++ IL training with on-device rendered
-sensors/labels -> closed-loop sensor-agent evaluation.
+"""End-to-end sensor-fusion product loop (BASELINE config 3) at the
+REFERENCE model spec: multi-seed expert datagen -> TransFuser++ IL training
+with on-device rendered sensors/labels (bf16 forward/backward) ->
+closed-loop sensor-agent evaluation, with checkpointing, periodic eval and
+a regression floor.
 
-Usage: python scripts/train_transfuser.py [--steps 1500] [--episodes 16]
+Mirrors the reference recipe roles: train.py:643-996 (loop, schedules),
+data quality gate (data.py:91-95 — imperfect expert episodes are
+weight-zeroed), README.md:142-147 two-stage option.
+
+Default config = the reference's sensor spec: regnety_032 both branches,
+1024x256 camera, 256x256 LiDAR BEV from the full 600k pts/s sweep
+(ref config.py:100-163). Use --micro for the fast debug config.
+
+Usage:
+  python scripts/train_transfuser.py --steps 20000 --datasets 4 \
+      --episodes 16 --frames 240 --eval-every 4000
 """
 
 from __future__ import annotations
@@ -10,8 +22,6 @@ from __future__ import annotations
 import os as _os
 _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-
-
 
 import argparse
 import dataclasses
@@ -26,97 +36,218 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from carla_garage_tpu.agents.sensor_agent import (make_transfuser_policy,
                                                   sensor_agent_reset)
 from carla_garage_tpu.config import DEFAULT_CONFIG as CFG
-from carla_garage_tpu.models.transfuser import TransfuserConfig
+from carla_garage_tpu.models.transfuser import (LidarCenterNet,
+                                                TransfuserConfig)
 from carla_garage_tpu.sensors.camera import camera_ray_grid
 from carla_garage_tpu.sensors.lidar import lidar_ray_grid
-from carla_garage_tpu.sim.datagen import collect_expert_frames
+from carla_garage_tpu.sim.datagen import collect_expert_frames, waypoint_labels
 from carla_garage_tpu.sim.episode import rollout_chunked
 from carla_garage_tpu.sim.scene_builder import make_synthetic_batch
 from carla_garage_tpu.sim.scoring import compute_scores
-from carla_garage_tpu.train.transfuser_train import train_transfuser
-from carla_garage_tpu.utils.checkpoint import save_checkpoint
-
-CAM_SCALE = 4          # 256x64 camera for this run
-LID_DECIMATE = 4
+from carla_garage_tpu.train.transfuser_train import (
+    make_transfuser_train_step, train_transfuser)
+from carla_garage_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
 
-def model_config() -> TransfuserConfig:
-  return TransfuserConfig(
-      image_arch="regnety_micro", lidar_arch="regnety_micro",
-      img_h=256 // CAM_SCALE, img_w=1024 // CAM_SCALE,
-      lidar_h=256, lidar_w=256,
-      img_anchors=(2, 8), lidar_anchors=(8, 8),
-      n_embd=128, d_model=128, n_decoder_layers=3)
+def model_config(args) -> TransfuserConfig:
+  if args.micro:
+    return TransfuserConfig(
+        image_arch="regnety_micro", lidar_arch="regnety_micro",
+        img_h=256 // 4, img_w=1024 // 4,
+        lidar_h=256, lidar_w=256,
+        img_anchors=(2, 8), lidar_anchors=(8, 8),
+        n_embd=128, d_model=128, n_decoder_layers=3)
+  # full reference spec (ref config.py:100-106, :326-484)
+  return TransfuserConfig()
+
+
+def build_dataset(args, seed: int, collect=None):
+  """One expert-datagen shard: scene batch + frames, with the quality gate
+  (imperfect episodes -> alive=False everywhere -> loss weight 0)."""
+  rng = np.random.default_rng(seed)
+  n_veh = int(rng.integers(args.min_vehicles, args.max_vehicles + 1))
+  town, maps, lanes, scene, state = make_synthetic_batch(
+      CFG, batch=args.episodes, seed=seed, n_vehicles=n_veh,
+      n_walkers=2)
+  if collect is None:
+    collect = jax.jit(lambda mp, ln, sc, st: collect_expert_frames(
+        CFG, mp, ln, sc, st, n_frames=args.frames))
+  final, frames = collect(maps, lanes, scene, state)
+  # quality gate (data.py:91-95): no infractions, not blocked
+  cr = final.criteria
+  clean = (np.asarray(cr.n_collision_vehicle) == 0) & \
+          (np.asarray(cr.n_collision_walker) == 0) & \
+          (np.asarray(cr.n_collision_static) == 0) & \
+          (np.asarray(cr.n_red_light) == 0) & \
+          (~np.asarray(cr.blocked))
+  frames = frames.replace(alive=frames.alive & jnp.asarray(clean)[None, :])
+  _, wp_valid = waypoint_labels(frames)
+  usable = np.nonzero(np.asarray(wp_valid).any(-1))[0]
+  return dict(maps=maps, lanes=lanes, scene=scene, frames=frames,
+              usable=usable, n_clean=int(clean.sum()), collect=collect)
+
+
+def closed_loop_eval(args, tcfg, model, params, cam_grid, lid_f, lid_r,
+                     n_routes: int, seed: int, max_ticks: int = 6000):
+  town, maps, lanes, scene, state = make_synthetic_batch(
+      CFG, batch=n_routes, seed=seed, n_vehicles=8, n_walkers=2)
+  route_lens = jnp.asarray([
+      float(np.asarray(scene.route.seg_len)[i][
+          :int(np.asarray(scene.route.num_valid)[i])].sum())
+      for i in range(n_routes)])
+  n_lidar = lid_f.shape[0] * lid_f.shape[1]
+  policy = make_transfuser_policy(model, None, tcfg, cam_grid, lid_f, lid_r,
+                                  direct=True, bf16=True)
+  st = state.replace(agent=sensor_agent_reset(CFG, n_routes, n_lidar))
+  final = rollout_chunked(CFG, maps, lanes, scene, st, max_ticks,
+                          chunk=512, policy=policy, policy_params=params)
+  sc = compute_scores(CFG, final.criteria, route_lens)
+  return dict(DS=float(jnp.mean(sc.score_composed)),
+              RC=float(jnp.mean(sc.score_route)),
+              IS=float(jnp.mean(sc.score_penalty)))
 
 
 def main():
   ap = argparse.ArgumentParser()
-  ap.add_argument("--steps", type=int, default=1500)
-  ap.add_argument("--episodes", type=int, default=12)
-  ap.add_argument("--frames", type=int, default=300)
+  ap.add_argument("--steps", type=int, default=20000)
+  ap.add_argument("--datasets", type=int, default=4)
+  ap.add_argument("--episodes", type=int, default=16)
+  ap.add_argument("--frames", type=int, default=240)
+  ap.add_argument("--frames-per-step", type=int, default=2)
+  ap.add_argument("--min-vehicles", type=int, default=6)
+  ap.add_argument("--max-vehicles", type=int, default=16)
+  ap.add_argument("--lr", type=float, default=3e-4)
+  ap.add_argument("--micro", action="store_true")
+  ap.add_argument("--no-bf16", action="store_true")
+  ap.add_argument("--eval-every", type=int, default=4000)
   ap.add_argument("--eval-routes", type=int, default=8)
-  ap.add_argument("--out", default="checkpoints/transfuser")
+  ap.add_argument("--out", default="checkpoints/transfuser_full")
+  ap.add_argument("--resume", default=None)
+  ap.add_argument("--floor", type=float, default=None,
+                  help="assert final closed-loop DS >= this (regression "
+                       "gate; exits non-zero below it)")
+  ap.add_argument("--results", default="results/transfuser_synth_eval.json")
   args = ap.parse_args()
 
-  tcfg = model_config()
-  cam_grid = camera_ray_grid(CFG, scale=CAM_SCALE)
-  lid_grid = lidar_ray_grid(CFG, half=0, decimate=LID_DECIMATE)
-  lid_rear = lidar_ray_grid(CFG, half=1, decimate=LID_DECIMATE)
+  tcfg = model_config(args)
+  cam_scale = 4 if args.micro else 1
+  lid_dec = 4 if args.micro else 1
+  cam_grid = camera_ray_grid(CFG, scale=cam_scale)
+  lid_grid = lidar_ray_grid(CFG, half=0, decimate=lid_dec)
+  lid_rear = lidar_ray_grid(CFG, half=1, decimate=lid_dec)
 
+  # ---- multi-seed datagen ----
   t0 = time.time()
-  town, maps, lanes, scene, state = make_synthetic_batch(
-      CFG, batch=args.episodes, seed=0, n_vehicles=8, n_walkers=2)
-  collect = jax.jit(lambda sc, st: collect_expert_frames(
-      CFG, maps, lanes, sc, st, n_frames=args.frames))
-  _, frames = collect(scene, state)
-  print(f"datagen: {args.episodes}x{args.frames} frames "
-        f"in {time.time()-t0:.0f}s", flush=True)
+  datasets = []
+  collect = None
+  for d in range(args.datasets):
+    ds = build_dataset(args, seed=1000 * d + 17, collect=collect)
+    collect = ds["collect"]
+    datasets.append(ds)
+    print(f"dataset {d}: {args.episodes}x{args.frames} frames, "
+          f"{ds['n_clean']}/{args.episodes} clean episodes, "
+          f"{len(ds['usable'])} usable frames", flush=True)
+  print(f"datagen: {time.time()-t0:.0f}s total", flush=True)
 
+  # ---- model / optimizer ----
+  model = LidarCenterNet(tcfg)
+  rng = jax.random.key(0)
+  B = args.episodes
+  rgb0 = jnp.zeros((B, tcfg.img_h, tcfg.img_w, 3))
+  lid0 = jnp.zeros((B, tcfg.lidar_h, tcfg.lidar_w, tcfg.lidar_channels))
+  params = jax.jit(model.init)(rng, rgb0, lid0, jnp.zeros((B, 2)),
+                               jnp.zeros((B, 6)), jnp.zeros((B,)))
+  if args.resume:
+    params, _meta = load_checkpoint(args.resume, jax.tree.map(
+        lambda x: x, params))
+    print(f"resumed from {args.resume}", flush=True)
+  n_params = sum(x.size for x in jax.tree.leaves(params))
+  print(f"params: {n_params/1e6:.1f}M", flush=True)
+
+  from carla_garage_tpu.train.plant_train import make_schedule
+  tx = optax.chain(
+      optax.clip_by_global_norm(1.0),
+      optax.adamw(make_schedule("multistep", args.lr, args.steps),
+                  weight_decay=0.01))
+  d0 = datasets[0]
+  step_fn, eval_fn, _ = make_transfuser_train_step(
+      CFG, tcfg, model, tx, d0["maps"], d0["scene"], d0["frames"],
+      cam_grid, lid_grid, bf16=not args.no_bf16)
+  opt_state = tx.init(params)
+
+  # ---- training loop ----
+  np_rng = np.random.default_rng(0)
+  history, evals = [], []
+  best = {"DS": -1.0}
+  best_params = params
   t0 = time.time()
-  model, params, hist = train_transfuser(
-      CFG, tcfg, maps, scene, frames, cam_grid, lid_grid,
-      steps=args.steps, lr=3e-4, log_every=max(args.steps // 15, 1))
-  print("loss:", [round(h["loss"], 3) for h in hist], flush=True)
-  print(f"training: {args.steps} steps in {time.time()-t0:.0f}s", flush=True)
-  save_checkpoint(args.out, params,
+  for i in range(args.steps):
+    ds = datasets[i % len(datasets)]
+    f_idx = jnp.asarray(np_rng.choice(ds["usable"],
+                                      size=args.frames_per_step), jnp.int32)
+    rng, sub = jax.random.split(rng)
+    params, opt_state, aux = step_fn(params, opt_state, f_idx, sub,
+                                     ds["maps"], ds["scene"], ds["frames"])
+    if i % max(args.steps // 40, 1) == 0 or i == args.steps - 1:
+      h = {k: float(v) for k, v in aux.items()}
+      h["step"] = i
+      h["wall_s"] = round(time.time() - t0, 1)
+      history.append(h)
+      print(f"step {i}: loss {h['loss']:.3f} "
+            f"({h['wall_s']:.0f}s)", flush=True)
+    if args.eval_every and (i + 1) % args.eval_every == 0:
+      ev = closed_loop_eval(args, tcfg, model, params, cam_grid, lid_grid,
+                            lid_rear, args.eval_routes, seed=321)
+      ev["step"] = i + 1
+      evals.append(ev)
+      print(f"eval @{i+1}: {ev}", flush=True)
+      save_checkpoint(f"{args.out}_step{i+1}", params,
+                      meta={"model": "transfuser", "step": i + 1,
+                            "config": dataclasses.asdict(tcfg), "eval": ev})
+      if ev["DS"] >= best["DS"]:
+        best = ev
+        best_params = params
+
+  if not evals:
+    best_params = params
+  save_checkpoint(args.out, best_params,
                   meta={"model": "transfuser",
-                        "config": dataclasses.asdict(tcfg)})
+                        "config": dataclasses.asdict(tcfg),
+                        "best_eval": best})
 
-  # ---- closed-loop sensor-agent eval ----
-  town, maps, lanes, scene, state = make_synthetic_batch(
-      CFG, batch=args.eval_routes, seed=321, n_vehicles=6, n_walkers=2)
-  route_lens = jnp.asarray([
-      float(np.asarray(scene.route.seg_len)[i][
-          :int(scene.route.num_valid[i])].sum())
-      for i in range(args.eval_routes)])
-  final_e = rollout_chunked(CFG, maps, lanes, scene, state, 6000, chunk=512)
-  ds_e = compute_scores(CFG, final_e.criteria, route_lens)
-
-  n_lidar = lid_grid.shape[0] * lid_grid.shape[1]
-  policy = make_transfuser_policy(model, params, tcfg, cam_grid,
-                                  lid_grid, lid_rear, direct=True)
-  state_t = state.replace(agent=sensor_agent_reset(
-      CFG, args.eval_routes, n_lidar))
-  final_t = rollout_chunked(CFG, maps, lanes, scene, state_t, 6000,
-                            chunk=512, policy=policy)
-  ds_t = compute_scores(CFG, final_t.criteria, route_lens)
-
+  # ---- final closed-loop eval (held-out seed) ----
+  final_ev = closed_loop_eval(args, tcfg, model, best_params, cam_grid,
+                              lid_grid, lid_rear, args.eval_routes,
+                              seed=4321)
   out = {
-      "expert_DS": float(jnp.mean(ds_e.score_composed)),
-      "transfuser_DS": float(jnp.mean(ds_t.score_composed)),
-      "transfuser_RC": float(jnp.mean(ds_t.score_route)),
-      "transfuser_IS": float(jnp.mean(ds_t.score_penalty)),
+      "transfuser_DS": final_ev["DS"],
+      "transfuser_RC": final_ev["RC"],
+      "transfuser_IS": final_ev["IS"],
+      "best_train_eval": best,
+      "evals": evals,
       "steps": args.steps,
-      "frames": args.episodes * args.frames,
+      "frames": args.datasets * args.episodes * args.frames,
+      "meta": {
+          "config": dataclasses.asdict(tcfg),
+          "cam_scale": cam_scale, "lidar_decimate": lid_dec,
+          "bf16": not args.no_bf16, "lr": args.lr,
+          "datasets": args.datasets, "episodes": args.episodes,
+          "cmdline": " ".join(sys.argv),
+      },
   }
   print(json.dumps(out, indent=1), flush=True)
-  os.makedirs("results", exist_ok=True)
-  with open("results/transfuser_synth_eval.json", "w") as f:
+  os.makedirs(os.path.dirname(args.results) or ".", exist_ok=True)
+  with open(args.results, "w") as f:
     json.dump(out, f, indent=1)
+  if args.floor is not None and final_ev["DS"] < args.floor:
+    print(f"FLOOR VIOLATION: DS {final_ev['DS']:.2f} < {args.floor}",
+          flush=True)
+    sys.exit(1)
 
 
 if __name__ == "__main__":
