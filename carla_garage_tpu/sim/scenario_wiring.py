@@ -108,6 +108,8 @@ def build_benchmark_scenarios(cfg, town, episodes, anns, seed: int = 0):
   kind = np.zeros((B, K), np.int32)
   tpos = np.zeros((B, K, 2), np.float32)
   tdist = np.full((B, K), 15.0, np.float32)
+  tkind = np.zeros((B, K), np.int32)
+  tparam = np.zeros((B, K), np.float32)
   aslot = np.full((B, K), -1, np.int32)
   dur = np.full((B, K), 60, np.int32)
   mag = np.zeros((B, K), np.float32)
@@ -123,13 +125,19 @@ def build_benchmark_scenarios(cfg, town, episodes, anns, seed: int = 0):
     npcs = []
     k = 0
 
-    def add(kind_, trig, dist_, dur_, mag_, actor=None):
+    def add(kind_, trig, dist_, dur_, mag_, actor=None, tta=0.0):
       nonlocal k
       if k >= K:
         return
       kind[b, k] = kind_
       tpos[b, k] = trig
       tdist[b, k] = dist_
+      if tta > 0:
+        # time-to-arrival arming (atomic_trigger_conditions.py:761,
+        # the reference's crossing-scenario semantic)
+        from carla_garage_tpu.sim.triggers import TriggerKind
+        tkind[b, k] = TriggerKind.TIME_TO_ARRIVAL
+        tparam[b, k] = tta
       dur[b, k] = dur_
       mag[b, k] = mag_
       if actor is not None:
@@ -207,7 +215,8 @@ def build_benchmark_scenarios(cfg, town, episodes, anns, seed: int = 0):
                                       np.float32)
           add(ScenarioType.JUNCTION_CROSSING, dense[max(ji - 5, 0)],
               25.0, 120, 0.0,
-              actor=dict(pos=back, yaw=yw, lane_id=li, lane_t=at2))
+              actor=dict(pos=back, yaw=yw, lane_id=li, lane_t=at2),
+              tta=4.0)
           used += 1
           used_prev = ji
           break
@@ -217,7 +226,8 @@ def build_benchmark_scenarios(cfg, town, episodes, anns, seed: int = 0):
   from carla_garage_tpu.structs import Scene  # noqa: F401 (doc anchor)
   specs = make_empty_specs(B, K).replace(
       kind=jnp.asarray(kind), trigger_pos=jnp.asarray(tpos),
-      trigger_dist=jnp.asarray(tdist), actor_slot=jnp.asarray(aslot),
+      trigger_dist=jnp.asarray(tdist), trigger_kind=jnp.asarray(tkind),
+      trigger_param=jnp.asarray(tparam), actor_slot=jnp.asarray(aslot),
       duration=jnp.asarray(dur), magnitude=jnp.asarray(mag),
       valid=jnp.asarray(valid))
   return walker_sites, specs, scenarios_reset(B, K), scenario_npcs

@@ -41,10 +41,18 @@ class ScenarioType:
 
 @struct.dataclass
 class ScenarioSpecs:
-  """Static per-episode scenario definitions. [B,K] slots."""
+  """Static per-episode scenario definitions. [B,K] slots.
+
+  trigger_kind selects the arming predicate (sim/triggers.py — the
+  atomic_trigger_conditions library): 0 distance (trigger_dist), 1
+  time-to-arrival (trigger_param seconds), 2 region (trigger_extent
+  half-sizes), 3 ego-velocity (trigger_param m/s)."""
   kind: jnp.ndarray          # [B,K] int32 ScenarioType
   trigger_pos: jnp.ndarray   # [B,K,2] world position that arms the scenario
   trigger_dist: jnp.ndarray  # [B,K]
+  trigger_kind: jnp.ndarray  # [B,K] int32 TriggerKind
+  trigger_param: jnp.ndarray  # [B,K] TTA seconds / velocity threshold
+  trigger_extent: jnp.ndarray  # [B,K,2] region half-extent
   actor_slot: jnp.ndarray    # [B,K] int32 vehicle slot it controls (-1 none)
   duration: jnp.ndarray      # [B,K] int32 ticks the effect lasts
   magnitude: jnp.ndarray     # [B,K] effect strength (steer noise amplitude,
@@ -67,6 +75,9 @@ def make_empty_specs(B: int, K: int) -> ScenarioSpecs:
       kind=jnp.zeros((B, K), jnp.int32),
       trigger_pos=jnp.zeros((B, K, 2)),
       trigger_dist=jnp.full((B, K), 15.0),
+      trigger_kind=jnp.zeros((B, K), jnp.int32),
+      trigger_param=jnp.zeros((B, K)),
+      trigger_extent=jnp.full((B, K, 2), 5.0),
       actor_slot=jnp.full((B, K), -1, jnp.int32),
       duration=jnp.full((B, K), 60, jnp.int32),
       magnitude=jnp.zeros((B, K)),
@@ -87,8 +98,11 @@ def scenario_step(cfg: GlobalConfig, specs: ScenarioSpecs,
   B, K = specs.kind.shape
   V = state.vehicles.yaw.shape[1]
 
-  d = jnp.linalg.norm(specs.trigger_pos - ego.pos[:, None], axis=-1)
-  armed = specs.valid & (d < specs.trigger_dist)
+  from carla_garage_tpu.sim.triggers import evaluate
+  armed = specs.valid & evaluate(
+      specs.trigger_kind, ego.pos[:, None], ego.speed[:, None],
+      specs.trigger_pos, specs.trigger_dist, specs.trigger_param,
+      specs.trigger_extent)
   triggered = sstate.triggered | armed
   active = triggered & (sstate.ticks_active < specs.duration)
   ticks = jnp.where(active, sstate.ticks_active + 1, sstate.ticks_active)

@@ -457,9 +457,13 @@ def build_batch(cfg: GlobalConfig, town,
       seen_frames=jnp.zeros((B, W), jnp.int32),
       active=jnp.zeros((B, W), bool),
       walked_m=jnp.zeros((B, W)))
+  # crossings arm on time-to-arrival like the reference
+  # (object_crash_vehicle.py:324-326); the distance trigger remains as a
+  # floor for a slow-rolling ego
   wspec = WalkerSpec(trigger_dist=jnp.asarray(wtrig),
                      cross_dist=jnp.asarray(wcross),
-                     walk_speed=jnp.full((B, W), WALKER_SPEED))
+                     walk_speed=jnp.full((B, W), WALKER_SPEED),
+                     trigger_tta=jnp.full((B, W), 4.0))
 
   scene = Scene(town_id=jnp.asarray(town_ids), route=route,
                 lights=lights, stops=stops, walkers_spec=wspec,

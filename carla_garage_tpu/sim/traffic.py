@@ -201,7 +201,11 @@ def walker_step(cfg: GlobalConfig, scene: Scene, state: SimState):
   wlk = state.walkers
   spec = scene.walkers_spec
   d_ego = jnp.linalg.norm(wlk.pos - state.ego.pos[:, None], axis=-1)
-  trigger = wlk.valid & (d_ego < spec.trigger_dist)
+  from carla_garage_tpu.sim.triggers import in_time_to_arrival
+  tta_hit = (spec.trigger_tta > 0) & in_time_to_arrival(
+      state.ego.pos[:, None], state.ego.speed[:, None], wlk.pos,
+      spec.trigger_tta)
+  trigger = wlk.valid & ((d_ego < spec.trigger_dist) | tta_hit)
   active = wlk.active | trigger
   walking = active & (wlk.walked_m < spec.cross_dist) & wlk.valid
   speed = jnp.where(walking, spec.walk_speed, 0.0)

@@ -83,10 +83,15 @@ class WalkerStates:
 class WalkerSpec:
   """Static crossing-scenario parameters (DynamicObjectCrossing semantics,
   srunner object_crash_vehicle.py:33-404): the walker stands until the ego
-  is within trigger_dist, then crosses cross_dist meters along `direction`."""
+  is within trigger_dist OR (when trigger_tta > 0) the ego's
+  time-to-arrival drops below trigger_tta seconds — the reference arms
+  crossings on InTimeToArrivalToVehicle (:324-326, _time_to_reach), so
+  trigger range scales with ego speed. Then it crosses cross_dist meters
+  along `direction`."""
   trigger_dist: jnp.ndarray  # [B,W]
   cross_dist: jnp.ndarray    # [B,W]
   walk_speed: jnp.ndarray    # [B,W]
+  trigger_tta: jnp.ndarray   # [B,W] seconds; 0 = distance-only
 
 
 @struct.dataclass
