@@ -1,21 +1,22 @@
-"""carla_garage_tpu — a TPU-native closed-loop autonomous-driving framework.
+"""carla_garage_tpu — TPU-native re-design of carla_garage.
 
-A from-scratch JAX/XLA/Pallas re-design of the capabilities of
-autonomousvision/carla_garage (TransFuser++): batched closed-loop simulation,
-privileged rule-based expert, sensor rendering, imitation-learning training,
-and leaderboard-style benchmark evaluation — all as XLA programs over
-`jax.sharding.Mesh` device meshes instead of a C++ simulator + SLURM job farm.
+Persistent-compilation-cache hook: the container's sitecustomize imports
+jax (axon PJRT registration) BEFORE any entry script runs, so setting
+JAX_COMPILATION_CACHE_DIR via os.environ in scripts is too late — jax has
+already frozen its config defaults. Configure the cache through
+jax.config here, where every entry point passes. Overridable via the same
+env vars."""
 
-Layer map (mirrors SURVEY.md §1, re-designed TPU-first):
-  maps/     — tensorized town maps, route compilation (host) + map queries (device)
-  sim/      — world state PyTrees, dynamics, expert, traffic, criteria, episode scan
-  sensors/  — BEV / camera / LiDAR rendering kernels
-  ops/      — Pallas kernels and numeric ops shared across the stack
-  models/   — flax policies (TransFuser++, AIM, BEV encoder, PlanT)
-  agents/   — agent API (expert autopilot, sensor agent, plant agent)
-  train/    — data pipeline + pjit training loop
-  eval/     — batched benchmark runner + scoring (Longest6 / LAV)
-  parallel/ — mesh + sharding helpers
-"""
+import os as _os
 
-__version__ = "0.1.0"
+try:
+  import jax as _jax
+  _jax.config.update(
+      "jax_compilation_cache_dir",
+      _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+  _jax.config.update(
+      "jax_persistent_cache_min_compile_time_secs",
+      float(_os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                            "2")))
+except Exception:                                    # jax-less tooling
+  pass

@@ -50,6 +50,8 @@ def _records(cfg, scene, state, route_ids, town):
       "stop_infraction": np.asarray(cr.n_stop_sign),
   }
   for i, rid in enumerate(route_ids):
+    if rid is None:                      # mesh-padding episode
+      continue
     status = "Completed" if bool(scores.completed[i]) else "Failed"
     if bool(cr.blocked[i]):
       status += " - Agent got blocked"
@@ -122,6 +124,28 @@ def _scenario_setup(cfg, scen_ann, episodes, town, seed: int):
   return build_benchmark_scenarios(cfg, town, episodes, scen_ann, seed)
 
 
+def _pad_for_mesh(mesh, eps, ids, extras=()):
+  """Pad the episode list to a multiple of the dp mesh size by repeating
+  the last episode; padded ids become None so their records are dropped.
+  Returns (eps, ids, extras) with every list padded in lockstep."""
+  n = mesh.shape["dp"]
+  pad = (-len(eps)) % n
+  if pad:
+    eps = list(eps) + [eps[-1]] * pad
+    ids = list(ids) + [None] * pad
+    extras = tuple(list(e) + [e[-1]] * pad for e in extras)
+  return eps, ids, extras
+
+
+def _shard_episode_batch(mesh, maps, lanes, scene, state):
+  """Episode batch over the dp axis, town rasters replicated — the
+  job-farm axis of evaluate_routes_slurm.py:124-312 as a mesh axis."""
+  from carla_garage_tpu.parallel.mesh import replicate, shard_leading
+  B = int(scene.route.num_valid.shape[0])
+  return (replicate(mesh, maps), replicate(mesh, lanes),
+          shard_leading(mesh, scene, B), shard_leading(mesh, state, B))
+
+
 def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
                         reps: int = 1, towns: list | None = None,
                         n_vehicles: int = 8, n_walkers: int = 2,
@@ -130,7 +154,8 @@ def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
                         use_scenarios: bool = True,
                         single_batch: bool = False,
                         verbose: bool = True,
-                        analysis_dir: str | None = None):
+                        analysis_dir: str | None = None,
+                        mesh=None):
   """Run a real benchmark's routes inside the TPU sim.
 
   use_scenarios attaches all 7 scenario types (annotations +
@@ -142,7 +167,12 @@ def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
 
   analysis_dir records decimated trajectories and writes the result
   parser's artifacts there: per-town infraction maps + replay clips
-  (tools/result_parser.py:881-975 analog, eval/analysis.py)."""
+  (tools/result_parser.py:881-975 analog, eval/analysis.py).
+
+  mesh: a jax.sharding.Mesh with a "dp" axis. The episode batch is
+  sharded over it (padded to a multiple of the mesh size); town rasters
+  replicate. One benchmark then spans every chip the way the reference
+  spans SLURM jobs."""
   cfg = cfg or (longest6_config() if benchmark == "longest6"
                 else GlobalConfig())
   root = assets_root or importer.DEFAULT_ASSETS
@@ -155,7 +185,7 @@ def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
   if single_batch:
     return _run_single_batch(cfg, by_town, root, reps, n_vehicles,
                              n_walkers, max_ticks, seed, policy,
-                             use_scenarios, verbose)
+                             use_scenarios, verbose, mesh=mesh)
 
   records = []
   for town_name, town_routes in sorted(by_town.items()):
@@ -175,6 +205,8 @@ def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
       for r, ep in zip(town_routes, compiled):
         eps.append(ep)
         ids.append(f"{r.route_id}_rep{rep}")
+    if mesh is not None:
+      eps, ids, _ = _pad_for_mesh(mesh, eps, ids)
     walker_sites = None
     scenario_npcs = None
     if use_scenarios:
@@ -188,6 +220,9 @@ def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
     if use_scenarios:
       scene = scene.replace(scenarios=specs)
       state = state.replace(scenario=scen_state)
+    if mesh is not None:
+      maps, lanes, scene, state = _shard_episode_batch(
+          mesh, maps, lanes, scene, state)
     if analysis_dir:
       final, traj = _rollout_chunked_recorded(
           cfg, maps, lanes, scene, state, max_ticks, policy=policy)
@@ -239,7 +274,8 @@ def _rollout_chunked_recorded(cfg, maps, lanes, scene, state, max_ticks,
 
 
 def _run_single_batch(cfg, by_town, root, reps, n_vehicles, n_walkers,
-                      max_ticks, seed, policy, use_scenarios, verbose):
+                      max_ticks, seed, policy, use_scenarios, verbose,
+                      mesh=None):
   """All routes of all towns in one mixed-town batch / one rollout."""
   t0 = time.time()
   towns, eps, ids, town_idx, town_names, anns = [], [], [], [], [], []
@@ -256,6 +292,9 @@ def _run_single_batch(cfg, by_town, root, reps, n_vehicles, n_walkers,
         town_idx.append(ti)
         town_names.append(town_name)
         anns.append(ann)
+  if mesh is not None:
+    eps, ids, (town_idx, town_names, anns) = _pad_for_mesh(
+        mesh, eps, ids, (town_idx, town_names, anns))
   if verbose:
     print(f"compiled {len(eps)} episodes over {len(towns)} towns "
           f"in {time.time() - t0:.0f}s", flush=True)
@@ -273,11 +312,16 @@ def _run_single_batch(cfg, by_town, root, reps, n_vehicles, n_walkers,
   if use_scenarios:
     scene = scene.replace(scenarios=specs)
     state = state.replace(scenario=scen_state)
+  if mesh is not None:
+    maps, lanes, scene, state = _shard_episode_batch(
+        mesh, maps, lanes, scene, state)
   t1 = time.time()
   final = rollout_chunked(cfg, maps, lanes, scene, state, max_ticks,
                           chunk=1024, policy=policy)
   records = []
   for i, (rid, tn) in enumerate(zip(ids, town_names)):
+    if rid is None:
+      continue
     records += _records(cfg,
                         jax_tree_slice(scene, i), jax_tree_slice(final, i),
                         [rid], tn)
@@ -294,8 +338,10 @@ def jax_tree_slice(tree, i):
       tree)
 
 
-def write_endpoint(records, global_stats, path: str):
-  """Leaderboard-style results JSON (checkpoint endpoint layout)."""
+def write_endpoint(records, global_stats, path: str, meta: dict = None):
+  """Leaderboard-style results JSON (checkpoint endpoint layout). `meta`
+  records the exact invocation config (NPC counts, seeds, capacity) so the
+  run is reproducible from the artifact alone."""
   data = {"_checkpoint": {"records": records,
                           "global_record": global_stats},
           "values": [global_stats["driving_score"],
@@ -303,6 +349,8 @@ def write_endpoint(records, global_stats, path: str):
                      global_stats["infraction_score"]],
           "labels": ["Avg. driving score", "Avg. route completion",
                      "Avg. infraction penalty"]}
+  if meta is not None:
+    data["meta"] = meta
   with open(path, "w") as f:
     json.dump(data, f, indent=2)
 
