@@ -53,12 +53,27 @@ def sub_dict(sd, prefix):
   return {k[len(p):]: v for k, v in sd.items() if k.startswith(p)}
 
 
-def convert_regnety(sd, prefix, depths):
+def infer_regnety_depths(sd, prefix):
+  """Per-stage block counts read off the state_dict keys themselves —
+  robust against a config.pickle whose arch string disagrees with the
+  weights actually stored."""
+  depths = []
+  for si in range(4):
+    bi = 0
+    while f"{prefix}.s{si + 1}.b{bi + 1}.conv1.conv.weight" in sd:
+      bi += 1
+    depths.append(bi)
+  return tuple(depths)
+
+
+def convert_regnety(sd, prefix, depths=None):
   """timm RegNetY state_dict branch -> RegNetY(norm='bn_affine') params.
 
   Returns {"stem": ..., "stage{i}": {"b{j}": ...}} (caller renames to the
   backbone's image_/lidar_ prefixes). BN running stats are folded
   (torch_import.batchnorm_scale_bias)."""
+  if depths is None:
+    depths = infer_regnety_depths(sd, prefix)
   out = {"stem": {"conv": ti.conv2d(sd, f"{prefix}.stem.conv"),
                   "norm": ti.batchnorm_scale_bias(sd, f"{prefix}.stem.bn")}}
   for si, depth in enumerate(depths):
@@ -88,12 +103,9 @@ def convert_transfuser_backbone(sd, cfg: TransfuserConfig,
                                 n_fusion_stages: int = 4):
   """reference transfuser.TransfuserBackbone -> TransfuserBackbone params
   (transfuser.py:23-137 module wiring)."""
-  from carla_garage_tpu.models.backbones import arch_spec
-  ispec = arch_spec(cfg.image_arch)
-  lspec = arch_spec(cfg.lidar_arch)
   out = {}
-  img = convert_regnety(sd, f"{prefix}.image_encoder", ispec["depths"])
-  lid = convert_regnety(sd, f"{prefix}.lidar_encoder", lspec["depths"])
+  img = convert_regnety(sd, f"{prefix}.image_encoder")
+  lid = convert_regnety(sd, f"{prefix}.lidar_encoder")
   out["image_stem"] = img.pop("stem")
   out["lidar_stem"] = lid.pop("stem")
   for i in range(4):

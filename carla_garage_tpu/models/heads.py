@@ -25,8 +25,10 @@ class PerspectiveDecoder(nn.Module):
   inter_channel_0: int = 128
   inter_channel_1: int = 64
   inter_channel_2: int = 32
-  scale_factor_0: int = 4
-  scale_factor_1: int = 8
+  # model.py:65-72: scale_factor_0 = upsample(32) // deconv_scale_factor_0(4)
+  # = 8, scale_factor_1 = 32 // deconv_scale_factor_1(8) = 4 — x8 then x4
+  scale_factor_0: int = 8
+  scale_factor_1: int = 4
 
   @nn.compact
   def __call__(self, x):

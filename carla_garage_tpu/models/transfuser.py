@@ -93,10 +93,11 @@ class TransfuserBackbone(nn.Module):
     c = self.cfg
     ispec, lspec = arch_spec(c.image_arch), arch_spec(c.lidar_arch)
     if c.normalize_imagenet:
-      # t_u.normalize_imagenet (transfuser_utils.py:542): inputs in [0,1]
+      # t_u.normalize_imagenet (transfuser_utils.py:542-551): inputs are
+      # 0..255 images, divided by 255 BEFORE the imagenet affine
       mean = jnp.asarray([0.485, 0.456, 0.406], rgb.dtype)
       std = jnp.asarray([0.229, 0.224, 0.225], rgb.dtype)
-      rgb = (rgb - mean) / std
+      rgb = (rgb / 255.0 - mean) / std
     img = RegNetYStem(ispec["stem_w"], norm=self.norm,
                       name="image_stem")(rgb)
     lid = RegNetYStem(lspec["stem_w"], norm=self.norm,

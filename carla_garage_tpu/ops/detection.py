@@ -125,8 +125,16 @@ def topk_decode(preds: dict, *, ppm: float, k: int = 100,
   wh = gather(preds["wh"])
   yaw_cls = jnp.argmax(gather(preds["yaw_class"]), -1)
   yaw_res = gather(preds["yaw_res"])[..., 0]
-  vel = gather(preds["velocity"])[..., 0]
-  brake = jnp.argmax(gather(preds["brake"]), -1)
+  # velocity/brake branches are absent on pretrained drop-ins
+  # (center_net.py:67-72 builds them only for temporal configs)
+  if "velocity" in preds:
+    vel = gather(preds["velocity"])[..., 0]
+  else:
+    vel = jnp.zeros_like(yaw_res)
+  if "brake" in preds:
+    brake = jnp.argmax(gather(preds["brake"]), -1)
+  else:
+    brake = jnp.zeros_like(yaw_cls)
   cx = px + off[..., 0]
   cy = py + off[..., 1]
   angle_per_class = 2 * jnp.pi / num_dir_bins

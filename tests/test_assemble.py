@@ -254,9 +254,13 @@ def test_ensemble_directory_loader(tmp_path, ref_model_and_cfg):
   model, cfg = ref_model_and_cfg
   d = tmp_path / "pretrained"
   d.mkdir()
+  attrs = {k: v for k, v in vars(cfg).items()
+           if isinstance(v, (int, float, bool, str, list, tuple))}
+  # the pickle describes the weights actually stored (here: the fake
+  # micro-layout encoder), as a real pretrained dir's pickle would
+  attrs["image_architecture"] = attrs["lidar_architecture"] = "regnety_micro"
   with open(d / "config.pickle", "wb") as f:
-    pickle.dump({k: v for k, v in vars(cfg).items()
-                 if isinstance(v, (int, float, bool, str, list, tuple))}, f)
+    pickle.dump(attrs, f)
   torch.save(model.state_dict(), d / "model_0030.pth")
   torch.save(model.state_dict(), d / "model_0031.pth")
   tcfg, params = assemble.load_ensemble_directory(str(d))
