@@ -38,3 +38,30 @@ def shard_leading(mesh: Mesh, tree, batch: int, axis: str = "dp"):
 def replicate(mesh: Mesh, tree):
   rep = NamedSharding(mesh, P())
   return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+
+
+def zero1_spec(x, n: int, axis: str = "dp"):
+  """ZeRO-1 PartitionSpec for one optimizer-state leaf: shard the first
+  axis divisible by the mesh size, replicate scalars/indivisible leaves.
+
+  The reference's ZeroRedundancyOptimizer shards AdamW moments across DDP
+  ranks (train.py:527-531); here the same memory win comes from laying the
+  moment tensors out over the dp axis — XLA inserts the all-gathers where
+  the (replicated) params consume sharded updates."""
+  if not hasattr(x, "ndim") or x.ndim == 0:
+    return P()
+  for d in range(x.ndim):
+    if x.shape[d] % n == 0 and x.shape[d] >= n:
+      return P(*([None] * d + [axis]))
+  return P()
+
+
+def zero1_shard_opt_state(mesh: Mesh, opt_state, axis: str = "dp"):
+  """Lay an optax state tree out ZeRO-1 style over the mesh."""
+  n = mesh.shape[axis]
+
+  def put(x):
+    return jax.device_put(
+        x, NamedSharding(mesh, zero1_spec(x, n, axis)))
+
+  return jax.tree.map(put, opt_state)
