@@ -74,10 +74,20 @@ def build_dataset(args, seed: int, collect=None):
   town, maps, lanes, scene, state = make_synthetic_batch(
       CFG, batch=args.episodes, seed=seed, n_vehicles=n_veh,
       n_walkers=2)
+  # chunked datagen: ONE compiled fixed-length collect reused across
+  # chunks and datasets (long-scan programs stall the remote XLA compiler;
+  # chunk length keeps compile time flat — rollout_chunked's recipe)
+  chunk = 20
+  assert args.frames % chunk == 0, "--frames must be a multiple of 20"
   if collect is None:
     collect = jax.jit(lambda mp, ln, sc, st: collect_expert_frames(
-        CFG, mp, ln, sc, st, n_frames=args.frames))
-  final, frames = collect(maps, lanes, scene, state)
+        CFG, mp, ln, sc, st, n_frames=chunk))
+  st, parts = state, []
+  for _ in range(args.frames // chunk):
+    st, fr = collect(maps, lanes, scene, st)
+    parts.append(fr)
+  final = st
+  frames = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *parts)
   # quality gate (data.py:91-95): no infractions, not blocked
   cr = final.criteria
   clean = (np.asarray(cr.n_collision_vehicle) == 0) & \
