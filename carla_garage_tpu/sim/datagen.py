@@ -107,6 +107,88 @@ def collect_expert_frames(cfg: GlobalConfig, maps: MapStack,
   return final, frames
 
 
+def make_dagger_policy(model_policy):
+  """Combine a learned policy with the expert into one PolicyFn: the MODEL
+  drives (its controls hit the dynamics) while the expert's carry state
+  (planners, PID, hazard flags) advances along the visited trajectory.
+
+  Frame recording then reads correct expert labels at every state the
+  LEARNED policy reaches — on-policy corrective supervision (DAgger). The
+  reference cannot do this (its expert needs a privileged CARLA server
+  per route); here both policies are pure functions over the same
+  SimState, so querying the expert along the policy's trajectory costs
+  one extra forward of the (cheap) expert per tick."""
+  from carla_garage_tpu.sim.expert import expert_step
+
+  def pol(cfg, maps, scene, state, rng, params):
+    r1, r2 = jax.random.split(rng)
+    _, ex_upd = expert_step(cfg, maps, scene, state, r1)
+    control, ag_upd = model_policy(cfg, maps, scene, state, r2, params)
+    return control, {**ex_upd, **ag_upd}
+
+  return pol
+
+
+def collect_dagger_frames(cfg: GlobalConfig, maps: MapStack,
+                          lanes: LaneGraph, scene: Scene, state: SimState,
+                          policy, policy_params, n_frames: int):
+  """DAgger datagen: roll the LEARNED policy for n_frames * SAVE_FREQ
+  ticks, recording one frame per SAVE_FREQ ticks with EXPERT labels at the
+  visited states (state.expert advances via make_dagger_policy).
+
+  The returned Frames are label-correct for route-relative supervision
+  (target_speed class, checkpoints, hazard flags, CenterNet objects).
+  Waypoint labels (future EGO positions) reflect the policy's own — often
+  wrong — trajectory: weigh the wp loss 0 for these frames."""
+  combined = make_dagger_policy(policy)
+
+  def frame_step(st: SimState, _):
+    st = jax.lax.fori_loop(
+        0, SAVE_FREQ,
+        lambda i, s2: sim_step(cfg, maps, lanes, scene, s2,
+                               policy=combined,
+                               policy_params=policy_params),
+        st)
+    return st, _record_frame(cfg, scene, st)
+
+  final, frames = jax.lax.scan(frame_step, state, None, length=n_frames)
+  return final, frames
+
+
+def _record_frame(cfg: GlobalConfig, scene: Scene, st: SimState) -> Frames:
+  """Snapshot one training frame (shared by expert and DAgger collectors)."""
+  ex = st.expert
+  ego = st.ego
+  tp_world, tp_cmd = jax.vmap(
+      lambda pts, c, nv, i: route_lookup(pts, c, nv, i, 1))(
+      scene.route.sparse_points, scene.route.sparse_cmd,
+      scene.route.sparse_num_valid, ex.planner_sparse.idx)
+  return Frames(
+      ego_pos=ego.pos, ego_yaw=ego.yaw, ego_speed=ego.speed,
+      veh_pos=st.vehicles.pos, veh_yaw=st.vehicles.yaw,
+      veh_speed=st.vehicles.speed,
+      veh_brake=st.vehicles.control[..., 2],
+      veh_extent=st.vehicles.extent, veh_valid=st.vehicles.valid,
+      wlk_pos=st.walkers.pos, wlk_yaw=st.walkers.yaw,
+      wlk_speed=st.walkers.speed, wlk_extent=st.walkers.extent,
+      wlk_valid=st.walkers.valid,
+      target_point=geo.world_to_ego(tp_world, ego.pos, ego.yaw),
+      command=tp_cmd.astype(jnp.int32),
+      dense_idx=ex.planner_dense.idx,
+      steer=ex.steer, throttle=jnp.zeros_like(ex.steer),
+      brake=(ex.vehicle_hazard | ex.walker_hazard | ex.light_hazard |
+             ex.stop_sign_hazard).astype(jnp.float32),
+      target_speed=jnp.where(
+          ex.vehicle_hazard | ex.walker_hazard | ex.light_hazard |
+          ex.stop_sign_hazard, 0.0, ex.target_speed),
+      junction=ex.junction,
+      light_hazard=ex.light_hazard.astype(jnp.float32),
+      stop_hazard=(ex.stop_sign_hazard |
+                   ex.stop_sign_close).astype(jnp.float32),
+      time_s=st.time_s,
+      alive=~st.done)
+
+
 def export_frames_jsonl(frames: Frames, path: str, episode: int = 0):
   """Write one episode's frame log as JSONL — the ScenarioLogger analog
   (team_code/scenario_logger.py: per-frame ego/traffic state for replay).

@@ -90,6 +90,20 @@ def _route_yaw(dense, i):
   return float(np.arctan2(d[1], d[0]))
 
 
+def _route_clear(dense, pos, lo, hi, clearance=3.0):
+  """True if pos stays >= clearance meters from every dense route point
+  OUTSIDE the index window [lo, hi).
+
+  Guards scripted-actor placement against route self-overlap: a route can
+  pass the same junction twice, so an actor meant to sit on a crossing
+  approach (off-route w.r.t. the leg its trigger guards) can land exactly
+  on a LATER leg of the same route — the ego then arrives behind a parked
+  actor whose trigger never arms (observed: LAV route 12 deadlock)."""
+  d = np.linalg.norm(dense - np.asarray(pos, np.float32)[None], axis=1)
+  d[max(lo, 0):min(hi, len(d))] = np.inf
+  return float(d.min()) > clearance
+
+
 def build_benchmark_scenarios(cfg, town, episodes, anns, seed: int = 0):
   """All 7 scenario types for a batch of episodes.
 
@@ -187,7 +201,8 @@ def build_benchmark_scenarios(cfg, town, episodes, anns, seed: int = 0):
       ahead = dense[i + 35]
       ryaw = _route_yaw(dense, i + 35)
       hit = _nearest_lane(tw, ahead, ryaw + np.pi, max_dist=8.0)
-      if hit is not None:
+      if hit is not None and _route_clear(dense, hit[2], i - 40, i + 80,
+                                          clearance=2.5):
         li, at, pt, yw = hit
         add(ScenarioType.OPPOSITE_DIRECTION, dense[i], 30.0, 160, 0.0,
             actor=dict(pos=pt, yaw=yw, lane_id=li, lane_t=at))
@@ -213,6 +228,8 @@ def build_benchmark_scenarios(cfg, town, episodes, anns, seed: int = 0):
           at2 = max(at - 10.0, 0.0)
           back = pt - 10.0 * np.array([np.cos(yw), np.sin(yw)],
                                       np.float32)
+          if not _route_clear(dense, back, ji - 60, ji + 60):
+            continue   # actor would park on another leg of this route
           add(ScenarioType.JUNCTION_CROSSING, dense[max(ji - 5, 0)],
               25.0, 120, 0.0,
               actor=dict(pos=back, yaw=yw, lane_id=li, lane_t=at2),

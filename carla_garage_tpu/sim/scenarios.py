@@ -63,11 +63,14 @@ class ScenarioSpecs:
 class ScenarioState:
   triggered: jnp.ndarray     # [B,K] bool (latched)
   ticks_active: jnp.ndarray  # [B,K] int32
+  wait_ticks: jnp.ndarray    # [B,K] int32 — ego stopped behind an
+  #                            untriggered scripted actor (failsafe clock)
 
 
 def scenarios_reset(B: int, K: int) -> ScenarioState:
   return ScenarioState(triggered=jnp.zeros((B, K), bool),
-                       ticks_active=jnp.zeros((B, K), jnp.int32))
+                       ticks_active=jnp.zeros((B, K), jnp.int32),
+                       wait_ticks=jnp.zeros((B, K), jnp.int32))
 
 
 def make_empty_specs(B: int, K: int) -> ScenarioSpecs:
@@ -104,6 +107,35 @@ def scenario_step(cfg: GlobalConfig, specs: ScenarioSpecs,
       specs.trigger_pos, specs.trigger_dist, specs.trigger_param,
       specs.trigger_extent)
   triggered = sstate.triggered | armed
+
+  # Force-trigger failsafe: a scripted actor waits parked until its trigger
+  # arms, but the ego can end up stopped right behind it without ever
+  # satisfying the predicate (e.g. the route passes the same junction on a
+  # different leg than the trigger guards, or a TTA trigger whose TTA -> inf
+  # once the ego hazard-brakes for the parked actor itself — a circular
+  # deadlock observed on LAV route 12). The reference never hits this
+  # because its ScenarioTriggerer places triggers on the ego's exact route;
+  # our synthesized placements can alias. If the ego has been stopped within
+  # a car-length-ish gap behind an untriggered waiting actor for 3 s, fire
+  # the scenario so the actor drives off.
+  waiting_kind = specs.valid & ~triggered & (
+      (specs.kind == ScenarioType.JUNCTION_CROSSING) |
+      (specs.kind == ScenarioType.OPPOSITE_DIRECTION) |
+      (specs.kind == ScenarioType.FOLLOW_LEADING) |
+      (specs.kind == ScenarioType.OTHER_LEADING))
+  has_actor = specs.actor_slot >= 0
+  slot_oh_f = (jax.nn.one_hot(jnp.clip(specs.actor_slot, 0, V - 1), V) *
+               has_actor[..., None])
+  actor_pos = jnp.einsum('bkv,bvc->bkc', slot_oh_f, state.vehicles.pos)
+  rel = actor_pos - ego.pos[:, None]                    # [B,K,2]
+  gap = jnp.linalg.norm(rel, axis=-1)
+  fwd = jnp.stack([jnp.cos(ego.yaw), jnp.sin(ego.yaw)], -1)   # [B,2]
+  ahead = jnp.einsum('bkc,bc->bk', rel, fwd) > 0.0
+  blocking = (waiting_kind & has_actor & ahead & (gap < 12.0) &
+              (ego.speed[:, None] < 0.3))
+  wait_ticks = jnp.where(blocking, sstate.wait_ticks + 1, 0)
+  triggered = triggered | (blocking & (wait_ticks >= 3 * cfg.sim.fps))
+
   active = triggered & (sstate.ticks_active < specs.duration)
   ticks = jnp.where(active, sstate.ticks_active + 1, sstate.ticks_active)
 
@@ -128,15 +160,12 @@ def scenario_step(cfg: GlobalConfig, specs: ScenarioSpecs,
   # JUNCTION_CROSSING crosses the junction, OPPOSITE_DIRECTION starts
   # toward the ego on the opposing lane, FOLLOW_LEADING becomes the
   # braking leader, OTHER_LEADING the slow leader.
-  is_wait = specs.valid & ~triggered & (
-      (specs.kind == ScenarioType.JUNCTION_CROSSING) |
-      (specs.kind == ScenarioType.OPPOSITE_DIRECTION) |
-      (specs.kind == ScenarioType.FOLLOW_LEADING) |
-      (specs.kind == ScenarioType.OTHER_LEADING))
+  is_wait = waiting_kind & ~triggered   # post-failsafe: forced rows drive
   wait_cap = jnp.where(is_wait[..., None] & slot_oh, 0.0, jnp.inf)
   npc_speed_cap = jnp.minimum(npc_speed_cap, jnp.min(wait_cap, axis=1))
 
-  return (ScenarioState(triggered=triggered, ticks_active=ticks),
+  return (ScenarioState(triggered=triggered, ticks_active=ticks,
+                        wait_ticks=wait_ticks),
           {"steer_noise": steer_noise,
            "npc_brake_override": npc_brake,
            "npc_speed_cap": npc_speed_cap})
