@@ -237,9 +237,24 @@ def make_transfuser_policy(model: LidarCenterNet, params,
     start_creep = stuck > cfg.expert.stuck_threshold
     force = jnp.where(start_creep, cfg.expert.creep_duration,
                       jnp.maximum(ag.force_move - 1, 0))
-    creeping = force > 0
+    # LiDAR safety box (sensor_agent.py:571-599 + ref config.py:513-519):
+    # any sweep return in the box directly ahead blocks the creep with a
+    # full brake — without this gate the recovery rams a stopped leader
+    # the moment the stuck timer expires.
+    s = cfg.sim
+    in_box = (merged_val &
+              (merged_pts[..., 0] > s.ego_extent_x) &
+              (merged_pts[..., 0] < s.ego_extent_x + 2.5) &
+              (jnp.abs(merged_pts[..., 1]) < s.ego_extent_y * 0.8) &
+              (merged_pts[..., 2] > 0.5) & (merged_pts[..., 2] < 1.5))
+    obstructed = jnp.any(in_box, axis=-1)
+    creeping = (force > 0) & ~obstructed
+    # an obstructed creep re-arms for when the box clears (ref :599)
+    force = jnp.where((force > 0) & obstructed,
+                      cfg.expert.creep_duration, force)
     throttle = jnp.where(creeping, cfg.expert.creep_throttle, throttle)
-    brake = jnp.where(creeping, 0.0, brake)
+    brake = jnp.where(creeping, 0.0,
+                      jnp.where((force > 0) & obstructed, 1.0, brake))
     stuck = jnp.where(creeping, 0, stuck)
 
     # --- detected-stop-sign controller (sensor_agent.py:617-657) ---

@@ -43,6 +43,19 @@ def lidar_ray_grid(cfg: GlobalConfig, half: int = 0,
   return d.astype(np.float32)
 
 
+def full_lidar_grid(cfg: GlobalConfig, decimate: int = 1) -> np.ndarray:
+  """Both half-rotations concatenated — one full 360° sweep.
+
+  Training renders must use this so the BEV histogram matches what the
+  sensor agent builds at inference (live half sweep merged with the
+  buffered previous half, sensor_agent.py:358-431 = full coverage);
+  training on front-only sweeps leaves the rear half structurally empty
+  and puts every inference input out of distribution."""
+  return np.concatenate([lidar_ray_grid(cfg, half=0, decimate=decimate),
+                         lidar_ray_grid(cfg, half=1, decimate=decimate)],
+                        axis=1)
+
+
 def render_lidar(cfg: GlobalConfig, maps: MapStack, scene: Scene,
                  state: SimState, ray_grid: np.ndarray, rng: jnp.ndarray):
   """One half-sweep -> points [B,N,3] in the EGO frame (LiDAR at

@@ -91,7 +91,28 @@ def render_frame_batch(cfg: GlobalConfig, maps, scene: Scene,
   obj_yaw = jnp.concatenate([veh.yaw, wlk.yaw, lights.yaw, stops.yaw], 1)
   obj_extent = jnp.concatenate(
       [veh.extent, wlk.extent, lights.extent, stops.extent], 1)
-  obj_valid = jnp.concatenate([veh.valid, wlk.valid, l_ok, stops.valid], 1)
+  # LiDAR-visibility gate for dynamic agents (data.py:959-960: boxes with
+  # <= num_lidar_hits_for_detection=7 sweep points are dropped from the
+  # detection labels; lights/stops are map objects and stay, data_agent.py
+  # num_points only set for 'car'/'walker'). Without it the heatmap is
+  # supervised to fire on occluded objects the sensors cannot see.
+  dyn_pos = jnp.concatenate([veh.pos, wlk.pos], 1)          # [B,D,2]
+  dyn_yaw = jnp.concatenate([veh.yaw, wlk.yaw], 1)
+  dyn_ext = jnp.concatenate([veh.extent, wlk.extent], 1)
+  rel_d = geo.world_to_ego(dyn_pos, ego.pos[:, None], ego.yaw[:, None])
+  # render_lidar points are already ego-frame -> point-in-OBB per object
+  d = pts[:, None, :, :2] - rel_d[:, :, None]                # [B,D,N,2]
+  cy, sy = jnp.cos(dyn_yaw - ego.yaw[:, None]), \
+      jnp.sin(dyn_yaw - ego.yaw[:, None])
+  lx = d[..., 0] * cy[..., None] + d[..., 1] * sy[..., None]
+  ly = -d[..., 0] * sy[..., None] + d[..., 1] * cy[..., None]
+  inside = (jnp.abs(lx) <= dyn_ext[..., 0:1] + 0.1) & \
+      (jnp.abs(ly) <= dyn_ext[..., 1:2] + 0.1) & valid[:, None]
+  n_hits = jnp.sum(inside, axis=-1)                          # [B,D]
+  seen = n_hits > 7
+  obj_valid = jnp.concatenate(
+      [veh.valid & seen[:, :V], wlk.valid & seen[:, V:],
+       l_ok, stops.valid], 1)
   obj_speed = jnp.concatenate([veh.speed, wlk.speed, zl, zs], 1)
   obj_brake = jnp.concatenate(
       [take(frames.veh_brake), jnp.zeros_like(wlk.speed), zl, zs], 1)
@@ -195,7 +216,10 @@ def transfuser_loss(cfg: GlobalConfig, tcfg: TransfuserConfig,
       out["pred_target_speed"], batch["speed_label"],
       weights=SPEED_WEIGHTS, label_smoothing=0.1, sample_weight=sw)
   if "pred_wp" in out:
-    losses["wp"] = wmean(jnp.abs(out["pred_wp"] - batch["wp_label"]))
+    # wp_w=0 for DAgger-collected frames: their "future ego positions" are
+    # the learned policy's own (wrong) trajectory, not expert waypoints
+    losses["wp"] = wmean(jnp.abs(out["pred_wp"] - batch["wp_label"])) * \
+        batch.get("wp_w", 1.0)
   if "pred_semantic" in out:
     losses["semantic"] = cross_entropy(out["pred_semantic"],
                                        batch["semantic"], sample_weight=sw)
@@ -294,7 +318,12 @@ def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,
     batch["wp_label"] = wp_[f_idx]
     batch["ckpt_label"] = checkpoint_labels(
         frames_, scene_, tcfg.checkpoint_len)[f_idx]
-    batch["speed_label"] = target_speed_labels(frames_, cfg)[f_idx]
+    # brake_lookahead=2 frames (0.5 s at the 4 Hz save rate) — label brake
+    # if the expert brakes within the forecast horizon (forcast_time,
+    # ref config.py:544); anticipatory supervision the closed-loop policy
+    # needs to start braking BEFORE the expert's hazard flag latches
+    batch["speed_label"] = target_speed_labels(
+        frames_, cfg, brake_lookahead=2)[f_idx]
     batch["bev_semantic_ds"] = rendered["bev_semantic"][
         :, ::bev_ds, ::bev_ds].astype(jnp.int32)
     batch["centernet"] = centernet_targets(cfg, tcfg, batch, grid_hw)
@@ -319,8 +348,9 @@ def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, p)
 
-  def loss_fn(trainable, f_idx, rng, maps_, scene_, frames_):
+  def loss_fn(trainable, f_idx, rng, maps_, scene_, frames_, wp_w=1.0):
     batch = make_flat_batch(maps_, scene_, frames_, f_idx, rng)
+    batch["wp_w"] = wp_w
     if learn_loss_weights:
       params, log_vars = trainable
       return transfuser_loss(cfg, tcfg, model, cast_params(params), batch,
@@ -328,9 +358,10 @@ def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,
     return transfuser_loss(cfg, tcfg, model, cast_params(trainable), batch)
 
   @jax.jit
-  def train_step(trainable, opt_state, f_idx, rng, maps_, scene_, frames_):
+  def train_step(trainable, opt_state, f_idx, rng, maps_, scene_, frames_,
+                 wp_w=1.0):
     (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        trainable, f_idx, rng, maps_, scene_, frames_)
+        trainable, f_idx, rng, maps_, scene_, frames_, wp_w)
     grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
     updates, opt_state = tx.update(grads, opt_state, trainable)
     trainable = optax.apply_updates(trainable, updates)

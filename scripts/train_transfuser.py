@@ -44,7 +44,7 @@ from carla_garage_tpu.config import DEFAULT_CONFIG as CFG
 from carla_garage_tpu.models.transfuser import (LidarCenterNet,
                                                 TransfuserConfig)
 from carla_garage_tpu.sensors.camera import camera_ray_grid
-from carla_garage_tpu.sensors.lidar import lidar_ray_grid
+from carla_garage_tpu.sensors.lidar import full_lidar_grid, lidar_ray_grid
 from carla_garage_tpu.sim.datagen import collect_expert_frames, waypoint_labels
 from carla_garage_tpu.sim.episode import rollout_chunked
 from carla_garage_tpu.sim.scene_builder import make_synthetic_batch
@@ -102,6 +102,34 @@ def build_dataset(args, seed: int, collect=None):
               usable=usable, n_clean=int(clean.sum()), collect=collect)
 
 
+def build_dagger_dataset(args, tcfg, model, params, cam_grid, lid_f, lid_r,
+                         seed: int):
+  """On-policy corrective data (DAgger): the CURRENT model drives fresh
+  scenes while the expert's carry state rides along and labels every
+  visited state (collect_dagger_frames). No quality gate — mistake states
+  are the point; post-done frames drop via the alive mask."""
+  from carla_garage_tpu.sim.datagen import collect_dagger_frames
+  rng_np = np.random.default_rng(seed)
+  n_veh = int(rng_np.integers(args.min_vehicles, args.max_vehicles + 1))
+  town, maps, lanes, scene, state = make_synthetic_batch(
+      CFG, batch=args.episodes, seed=seed, n_vehicles=n_veh, n_walkers=2)
+  n_lidar = lid_f.shape[0] * lid_f.shape[1]
+  policy = make_transfuser_policy(model, None, tcfg, cam_grid, lid_f, lid_r,
+                                  direct=True, bf16=True)
+  st = state.replace(agent=sensor_agent_reset(CFG, args.episodes, n_lidar))
+  chunk = 20
+  collect = jax.jit(lambda mp, ln, sc, s2, p: collect_dagger_frames(
+      CFG, mp, ln, sc, s2, policy, p, n_frames=chunk))
+  parts = []
+  for _ in range(max(args.dagger_frames // chunk, 1)):
+    st, fr = collect(maps, lanes, scene, st, params)
+    parts.append(fr)
+  frames = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *parts)
+  usable = np.nonzero(np.asarray(frames.alive).any(-1))[0]
+  return dict(maps=maps, lanes=lanes, scene=scene, frames=frames,
+              usable=usable)
+
+
 def closed_loop_eval(args, tcfg, model, params, cam_grid, lid_f, lid_r,
                      n_routes: int, seed: int, max_ticks: int = 6000):
   town, maps, lanes, scene, state = make_synthetic_batch(
@@ -117,9 +145,19 @@ def closed_loop_eval(args, tcfg, model, params, cam_grid, lid_f, lid_r,
   final = rollout_chunked(CFG, maps, lanes, scene, st, max_ticks,
                           chunk=512, policy=policy, policy_params=params)
   sc = compute_scores(CFG, final.criteria, route_lens)
+  cr = final.criteria
+  m = lambda x: float(np.asarray(x, np.float32).mean())
   return dict(DS=float(jnp.mean(sc.score_composed)),
               RC=float(jnp.mean(sc.score_route)),
-              IS=float(jnp.mean(sc.score_penalty)))
+              IS=float(jnp.mean(sc.score_penalty)),
+              # per-route mean infraction counts: which failure dominates
+              coll_veh=m(cr.n_collision_vehicle),
+              coll_wlk=m(cr.n_collision_walker),
+              coll_stat=m(cr.n_collision_static),
+              red_light=m(cr.n_red_light),
+              stop_sign=m(cr.n_stop_sign),
+              outside_lane_m=m(cr.outside_lane_m),
+              blocked=m(cr.blocked))
 
 
 def main():
@@ -136,6 +174,10 @@ def main():
   ap.add_argument("--no-bf16", action="store_true")
   ap.add_argument("--eval-every", type=int, default=4000)
   ap.add_argument("--eval-routes", type=int, default=8)
+  ap.add_argument("--dagger-rounds", type=int, default=0,
+                  help="on-policy fine-tune rounds after BC")
+  ap.add_argument("--dagger-steps", type=int, default=2000)
+  ap.add_argument("--dagger-frames", type=int, default=160)
   ap.add_argument("--out", default="checkpoints/transfuser_full")
   ap.add_argument("--resume", default=None)
   ap.add_argument("--floor", type=float, default=None,
@@ -148,7 +190,10 @@ def main():
   cam_scale = 4 if args.micro else 1
   lid_dec = 4 if args.micro else 1
   cam_grid = camera_ray_grid(CFG, scale=cam_scale)
-  lid_grid = lidar_ray_grid(CFG, half=0, decimate=lid_dec)
+  # training renders the FULL 360° sweep (matches the sensor agent's
+  # merged live+buffered half sweeps); the policy keeps per-half grids
+  lid_grid = full_lidar_grid(CFG, decimate=lid_dec)
+  lid_front = lidar_ray_grid(CFG, half=0, decimate=lid_dec)
   lid_rear = lidar_ray_grid(CFG, half=1, decimate=lid_dec)
 
   # ---- multi-seed datagen ----
@@ -211,7 +256,7 @@ def main():
       print(f"step {i}: loss {h['loss']:.3f} "
             f"({h['wall_s']:.0f}s)", flush=True)
     if args.eval_every and (i + 1) % args.eval_every == 0:
-      ev = closed_loop_eval(args, tcfg, model, params, cam_grid, lid_grid,
+      ev = closed_loop_eval(args, tcfg, model, params, cam_grid, lid_front,
                             lid_rear, args.eval_routes, seed=321)
       ev["step"] = i + 1
       evals.append(ev)
@@ -223,6 +268,41 @@ def main():
         best = ev
         best_params = params
 
+  # ---- DAgger fine-tune rounds: collect on-policy mistakes, train on
+  # them (wp loss off — the recorded trajectory is the policy's own),
+  # interleaved 1:1 with expert replay so BC supervision doesn't erode ----
+  for r in range(args.dagger_rounds):
+    dset = build_dagger_dataset(args, tcfg, model, params, cam_grid,
+                                lid_front, lid_rear, seed=5000 + 97 * r)
+    print(f"dagger round {r}: {len(dset['usable'])} usable frame rows",
+          flush=True)
+    for i in range(args.dagger_steps):
+      on_policy = (i % 2 == 0)
+      ds = dset if on_policy else datasets[(i // 2) % len(datasets)]
+      wp_w = 0.0 if on_policy else 1.0
+      f_idx = jnp.asarray(np_rng.choice(ds["usable"],
+                                        size=args.frames_per_step),
+                          jnp.int32)
+      rng, sub = jax.random.split(rng)
+      params, opt_state, aux = step_fn(params, opt_state, f_idx, sub,
+                                       ds["maps"], ds["scene"],
+                                       ds["frames"], wp_w)
+      if i % max(args.dagger_steps // 8, 1) == 0:
+        print(f"dagger {r} step {i}: loss {float(aux['loss']):.3f}",
+              flush=True)
+    ev = closed_loop_eval(args, tcfg, model, params, cam_grid, lid_front,
+                          lid_rear, args.eval_routes, seed=321)
+    ev["step"] = args.steps + (r + 1) * args.dagger_steps
+    ev["dagger_round"] = r
+    evals.append(ev)
+    print(f"eval dagger@{r}: {ev}", flush=True)
+    save_checkpoint(f"{args.out}_dagger{r}", params,
+                    meta={"model": "transfuser", "dagger_round": r,
+                          "config": dataclasses.asdict(tcfg), "eval": ev})
+    if ev["DS"] >= best["DS"]:
+      best = ev
+      best_params = params
+
   if not evals:
     best_params = params
   save_checkpoint(args.out, best_params,
@@ -232,7 +312,7 @@ def main():
 
   # ---- final closed-loop eval (held-out seed) ----
   final_ev = closed_loop_eval(args, tcfg, model, best_params, cam_grid,
-                              lid_grid, lid_rear, args.eval_routes,
+                              lid_front, lid_rear, args.eval_routes,
                               seed=4321)
   out = {
       "transfuser_DS": final_ev["DS"],
