@@ -110,7 +110,8 @@ def load_town(name: str, root: str = DEFAULT_ASSETS,
   hints = np.concatenate(hints) if hints else None
 
   lanes = lg.build_town_lanes(road, ppm, world_offset, yellow=yellow,
-                              rng_seed=rng_seed, direction_hints=hints)
+                              rng_seed=rng_seed, direction_hints=hints,
+                              signal_hints=signal_hints_for(name, root))
 
   # junction channel: disks at detected junction nodes
   H, W = road.shape
@@ -213,22 +214,64 @@ def load_scenarios(town: str, root: str = DEFAULT_ASSETS) -> dict:
   Returns {scenario_type: [K,3] array of (x, y, yaw_rad)}.
   """
   import json
-  path = os.path.join(root, ROUTES_DIR, "scenarios",
-                      "all_towns_traffic_scenarios_public.json")
-  with open(path) as f:
-    data = json.load(f)
   out = {}
-  for town_dict in data["available_scenarios"]:
-    if town not in town_dict:
+  # the public all-towns file carries Scenario1/3/4; the per-town
+  # "*_all_scenarios" files add Scenario7-10 (junction) transforms —
+  # all are real OpenDRIVE-derived positions
+  files = ["all_towns_traffic_scenarios_public.json",
+           f"{town.lower()}_all_scenarios.json"]
+  for fname in files:
+    path = os.path.join(root, ROUTES_DIR, "scenarios", fname)
+    if not os.path.exists(path):
       continue
-    for grp in town_dict[town]:
-      rows = []
-      for ev in grp["available_event_configurations"]:
-        tr = ev["transform"]
-        rows.append([float(tr["x"]), float(tr["y"]),
-                     np.radians(float(tr["yaw"]))])
-      out[grp["scenario_type"]] = np.asarray(rows, np.float32)
+    with open(path) as f:
+      data = json.load(f)
+    for town_dict in data["available_scenarios"]:
+      if town not in town_dict:
+        continue
+      for grp in town_dict[town]:
+        rows = []
+        for ev in grp["available_event_configurations"]:
+          tr = ev["transform"]
+          rows.append([float(tr["x"]), float(tr["y"]),
+                       np.radians(float(tr["yaw"]))])
+        arr = np.asarray(rows, np.float32)
+        # the junction files repeat one transform per actor config —
+        # dedupe to unique sites
+        arr = np.unique(np.round(arr, 2), axis=0)
+        k = grp["scenario_type"]
+        out[k] = arr if k not in out else np.unique(
+            np.concatenate([out[k], arr]), axis=0)
   return out
+
+
+def signal_hints_for(town: str, root: str = DEFAULT_ASSETS) -> dict | None:
+  """Real signalization ground truth where the annotations carry it:
+  Scenario7/8/9 trigger points sit on approaches of SIGNALIZED junctions,
+  Scenario10 on unsignalized ones (CARLA scenario taxonomy). Returns
+  {'signalized': [N,2], 'unsignalized': [M,2]} or None."""
+  try:
+    sc = load_scenarios(town, root)
+  except (OSError, FileNotFoundError):
+    return None
+  dedup = lambda arrs: np.unique(np.round(np.concatenate(arrs), 1), axis=0) \
+      if arrs else np.zeros((0, 2), np.float32)
+  sig = dedup([sc[k][:, :2] for k in ("Scenario7", "Scenario8", "Scenario9")
+               if k in sc and len(sc[k])])
+  unsig = dedup([sc[k][:, :2] for k in ("Scenario10",)
+                 if k in sc and len(sc[k])])
+  if not len(sig) and not len(unsig):
+    return None
+  # Degeneracy guard: the mirror's town02_all_scenarios.json lists the
+  # SAME site set under every scenario type (a blanket data-collection
+  # file, not a curated taxonomy), so Scenario7-9 vs Scenario10 carry no
+  # signalization information there. If the signalized and unsignalized
+  # site sets substantially overlap, the annotation is uninformative.
+  if len(sig) and len(unsig):
+    d = np.linalg.norm(sig[:, None] - unsig[None], axis=-1).min(1)
+    if (d < 1.0).mean() > 0.5:
+      return None
+  return dict(signalized=sig, unsignalized=unsig)
 
 
 def scenarios_near_route(scenarios: dict, dense: np.ndarray,

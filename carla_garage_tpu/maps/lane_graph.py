@@ -246,7 +246,8 @@ def build_town_lanes(road: np.ndarray, ppm: float,
                      world_offset: np.ndarray,
                      yellow: np.ndarray | None = None,
                      rng_seed: int = 0,
-                     direction_hints: np.ndarray | None = None
+                     direction_hints: np.ndarray | None = None,
+                     signal_hints: dict | None = None
                      ) -> TownLanes:
   """Extract the full lane network + signalization from a road raster.
 
@@ -256,6 +257,13 @@ def build_town_lanes(road: np.ndarray, ppm: float,
   directions — e.g. the benchmark route XML keypoints, which come from
   the real OpenDRIVE map — used to orient one-way carriageways the
   raster geometry alone cannot disambiguate.
+  signal_hints: optional {'signalized': [N,2], 'unsignalized': [M,2]}
+  world points at REAL junction approaches — the scenario annotations'
+  Scenario7-9 (signalized) / Scenario10 (unsignalized) trigger
+  transforms, which come from the real OpenDRIVE map
+  (leaderboard/data/scenarios/*_all_scenarios.json). A junction whose
+  center lies near a hint gets its signalization forced to ground truth
+  instead of the geometric heuristic.
   """
   f = max(int(round(ppm)), 1)          # downsample to ~1 m/px for thinning
   pixel_m = f / ppm                    # meters per downsampled pixel
@@ -548,6 +556,20 @@ def build_town_lanes(road: np.ndarray, ppm: float,
     # whose stem is clearly narrower than the through road gets stop signs
     # on the minor entries instead (the "unsignalized minor entry" case).
     signalized = n_app >= 4 or halfs.min() > 0.7 * halfs.max()
+    # ground-truth override where the scenario annotations mark this
+    # junction (hint transforms sit on approach lanes ~10-20 m out)
+    if signal_hints:
+      r_hint = float(halfs.max()) + 20.0
+      d_sig = d_unsig = np.inf
+      sig = signal_hints.get("signalized")
+      if sig is not None and len(sig):
+        d_sig = float(np.linalg.norm(sig - node_world[j], axis=1).min())
+      unsig = signal_hints.get("unsignalized")
+      if unsig is not None and len(unsig):
+        d_unsig = float(np.linalg.norm(unsig - node_world[j],
+                                       axis=1).min())
+      if min(d_sig, d_unsig) < r_hint:
+        signalized = d_sig <= d_unsig
     if signalized:
       for li in inc:
         pe = lane_polys[li][-1]

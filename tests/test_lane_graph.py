@@ -52,6 +52,21 @@ def test_cross_graph_and_lanes():
       assert (mid[0] - 100) * right[0] > 0.5
 
 
+def test_signal_hints_override_heuristic():
+  """signal_hints force ground-truth signalization: the 4-way cross is
+  signalized by the heuristic, but an 'unsignalized' hint near its center
+  must strip the lights (and grant minor-entry stop signs instead)."""
+  road, yellow = _cross_road()
+  off = np.zeros(2, np.float32)
+  hint_pt = np.array([[100.0, 112.0]], np.float32)   # on an approach
+  tl = lg.build_town_lanes(road, 2.0, off,
+                           signal_hints={"unsignalized": hint_pt})
+  assert len(tl.light_pos) == 0
+  tl2 = lg.build_town_lanes(road, 2.0, off,
+                            signal_hints={"signalized": hint_pt})
+  assert len(tl2.light_pos) >= 4
+
+
 def test_opposite_lanes_do_not_overlap():
   road, _ = _cross_road()
   tl = lg.build_town_lanes(road, 2.0, np.zeros(2, np.float32))
