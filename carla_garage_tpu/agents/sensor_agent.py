@@ -95,7 +95,8 @@ def make_transfuser_policy(model: LidarCenterNet, params,
                            uncertainty_weight: bool = True,
                            brake_threshold: float = 0.5,
                            stop_control: bool = False,
-                           bf16: bool = False):
+                           bf16: bool = False,
+                           jpeg_quality: int | None = None):
   """PolicyFn: full sensor pipeline + model + control, jitted in the step.
 
   direct=True uses the classified-target-speed + checkpoint-angle
@@ -161,6 +162,13 @@ def make_transfuser_policy(model: LidarCenterNet, params,
 
     # --- sensors ---
     cam = render_camera(cfg, maps, scene, state, camera_grid)
+    if jpeg_quality is not None:
+      # jpg-artifact conditioning for checkpoints trained on jpg-stored
+      # data (sensor_agent.py:277-279 re-encodes the live camera at test
+      # time; cv2's default quality is 95)
+      from carla_garage_tpu.ops.jpeg import jpeg_artifacts
+      cam = dict(cam, rgb=jpeg_artifacts(cam["rgb"],
+                                         quality=jpeg_quality))
     # alternate front/rear half sweeps by tick parity (CARLA semantics)
     front = render_lidar(cfg, maps, scene, state, lidar_grid_front, r_lid)
     rear = render_lidar(cfg, maps, scene, state, lidar_grid_rear, r_lid)
