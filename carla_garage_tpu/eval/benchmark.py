@@ -155,7 +155,7 @@ def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
                         single_batch: bool = False,
                         verbose: bool = True,
                         analysis_dir: str | None = None,
-                        mesh=None):
+                        mesh=None, policy_params=None, agent_reset=None):
   """Run a real benchmark's routes inside the TPU sim.
 
   use_scenarios attaches all 7 scenario types (annotations +
@@ -172,7 +172,13 @@ def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
   mesh: a jax.sharding.Mesh with a "dp" axis. The episode batch is
   sharded over it (padded to a multiple of the mesh size); town rasters
   replicate. One benchmark then spans every chip the way the reference
-  spans SLURM jobs."""
+  spans SLURM jobs.
+
+  policy_params + agent_reset evaluate LEARNED policies on the real
+  benchmark routes: policy_params is the weight pytree forwarded through
+  the jit boundary, agent_reset(cfg, B) -> agent-state pytree installed
+  as state.agent before rollout (e.g. sensor_agent_reset for a
+  make_transfuser_policy / TransFuser++ checkpoint)."""
   cfg = cfg or (longest6_config() if benchmark == "longest6"
                 else GlobalConfig())
   root = assets_root or importer.DEFAULT_ASSETS
@@ -185,7 +191,9 @@ def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
   if single_batch:
     return _run_single_batch(cfg, by_town, root, reps, n_vehicles,
                              n_walkers, max_ticks, seed, policy,
-                             use_scenarios, verbose, mesh=mesh)
+                             use_scenarios, verbose, mesh=mesh,
+                             policy_params=policy_params,
+                             agent_reset=agent_reset)
 
   records = []
   for town_name, town_routes in sorted(by_town.items()):
@@ -220,15 +228,19 @@ def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
     if use_scenarios:
       scene = scene.replace(scenarios=specs)
       state = state.replace(scenario=scen_state)
+    if agent_reset is not None:
+      state = state.replace(agent=agent_reset(cfg, len(eps)))
     if mesh is not None:
       maps, lanes, scene, state = _shard_episode_batch(
           mesh, maps, lanes, scene, state)
     if analysis_dir:
       final, traj = _rollout_chunked_recorded(
-          cfg, maps, lanes, scene, state, max_ticks, policy=policy)
+          cfg, maps, lanes, scene, state, max_ticks, policy=policy,
+          policy_params=policy_params)
     else:
       final = rollout_chunked(cfg, maps, lanes, scene, state, max_ticks,
-                              chunk=1024, policy=policy)
+                              chunk=1024, policy=policy,
+                              policy_params=policy_params)
     recs = _records(cfg, scene, final, ids, town_name)
     records += recs
     if analysis_dir:
@@ -250,21 +262,22 @@ def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
 
 def _rollout_chunked_recorded(cfg, maps, lanes, scene, state, max_ticks,
                               chunk: int = 1000, every: int = 10,
-                              policy=expert_step):
+                              policy=expert_step, policy_params=None):
   """Chunked rollout that also concatenates decimated trajectory logs
   (host side), with the same early exit as rollout_chunked."""
   import jax
   from carla_garage_tpu.sim.episode import rollout_recorded
 
   @jax.jit
-  def run(maps_, lanes_, scene_, state_):
+  def run(maps_, lanes_, scene_, state_, params_):
     return rollout_recorded(cfg, maps_, lanes_, scene_, state_, chunk,
-                            every=every, policy=policy)
+                            every=every, policy=policy,
+                            policy_params=params_)
 
   chunks = []
   ticks = 0
   while ticks < max_ticks:
-    state, traj = run(maps, lanes, scene, state)
+    state, traj = run(maps, lanes, scene, state, policy_params)
     chunks.append(jax.tree.map(np.asarray, traj))
     ticks += chunk
     if bool(np.asarray(state.done).all()):
@@ -275,7 +288,7 @@ def _rollout_chunked_recorded(cfg, maps, lanes, scene, state, max_ticks,
 
 def _run_single_batch(cfg, by_town, root, reps, n_vehicles, n_walkers,
                       max_ticks, seed, policy, use_scenarios, verbose,
-                      mesh=None):
+                      mesh=None, policy_params=None, agent_reset=None):
   """All routes of all towns in one mixed-town batch / one rollout."""
   t0 = time.time()
   towns, eps, ids, town_idx, town_names, anns = [], [], [], [], [], []
@@ -312,12 +325,15 @@ def _run_single_batch(cfg, by_town, root, reps, n_vehicles, n_walkers,
   if use_scenarios:
     scene = scene.replace(scenarios=specs)
     state = state.replace(scenario=scen_state)
+  if agent_reset is not None:
+    state = state.replace(agent=agent_reset(cfg, len(eps)))
   if mesh is not None:
     maps, lanes, scene, state = _shard_episode_batch(
         mesh, maps, lanes, scene, state)
   t1 = time.time()
   final = rollout_chunked(cfg, maps, lanes, scene, state, max_ticks,
-                          chunk=1024, policy=policy)
+                          chunk=1024, policy=policy,
+                          policy_params=policy_params)
   records = []
   for i, (rid, tn) in enumerate(zip(ids, town_names)):
     if rid is None:

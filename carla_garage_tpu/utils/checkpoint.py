@@ -29,15 +29,19 @@ def save_checkpoint(path: str, params, meta: dict | None = None,
       json.dump(meta, f, indent=1)
 
 
-def load_checkpoint(path: str, template):
-  """template: a pytree of matching structure (e.g. freshly-init params)."""
+def load_checkpoint(path: str, template=None, meta_only: bool = False):
+  """template: a pytree of matching structure (e.g. freshly-init params).
+  meta_only=True reads just the meta.json sidecar (to recover the model
+  config before the params template can be built)."""
   path = os.path.abspath(path)
-  ckptr = ocp.StandardCheckpointer()
-  payload = ckptr.restore(os.path.join(path, "state"),
-                          {"params": template})
   meta = None
   mp = os.path.join(path, "meta.json")
   if os.path.exists(mp):
     with open(mp) as f:
       meta = json.load(f)
+  if meta_only:
+    return None, meta
+  ckptr = ocp.StandardCheckpointer()
+  payload = ckptr.restore(os.path.join(path, "state"),
+                          {"params": template})
   return payload["params"], meta

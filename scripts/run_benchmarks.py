@@ -55,6 +55,17 @@ def main():
   ap.add_argument("--seed", type=int, default=0)
   ap.add_argument("--suffix", default=None)
   ap.add_argument("--analysis-dir", default=None)
+  ap.add_argument("--agent", default="expert",
+                  choices=["expert", "transfuser"],
+                  help="expert = privileged autopilot; transfuser = a "
+                       "trained sensor-fusion checkpoint (--checkpoint)")
+  ap.add_argument("--checkpoint", default=None,
+                  help="orbax checkpoint dir from train_transfuser.py")
+  ap.add_argument("--uncertainty-threshold", type=float, default=0.33,
+                  help="brake-probability override (the reference "
+                       "Longest6 op point, README.md:82-84)")
+  ap.add_argument("--jpeg-quality", type=int, default=None)
+  ap.add_argument("--max-ticks", type=int, default=60000)
   args = ap.parse_args()
 
   n_vehicles = args.n_vehicles if args.n_vehicles is not None else \
@@ -65,17 +76,63 @@ def main():
 
   from carla_garage_tpu.config import GlobalConfig, longest6_config
   os.makedirs("results", exist_ok=True)
+
+  # learned-agent setup: build the sensor policy from a trained checkpoint
+  policy, policy_params, agent_reset = None, None, None
+  if args.agent == "transfuser":
+    if not args.checkpoint:
+      ap.error("--agent transfuser requires --checkpoint")
+    import jax
+    import jax.numpy as jnp
+    from carla_garage_tpu.agents.sensor_agent import (
+        make_transfuser_policy, sensor_agent_reset)
+    from carla_garage_tpu.models.transfuser import (LidarCenterNet,
+                                                    TransfuserConfig)
+    from carla_garage_tpu.sensors.camera import camera_ray_grid
+    from carla_garage_tpu.sensors.lidar import lidar_ray_grid
+    from carla_garage_tpu.utils.checkpoint import load_checkpoint
+    base = GlobalConfig()
+    # config travels with the checkpoint (meta sidecar)
+    _, meta0 = load_checkpoint(args.checkpoint, meta_only=True)
+    tcfg = TransfuserConfig(**meta0["config"]) if meta0.get("config") \
+        else TransfuserConfig()
+    cam_scale = max(base.sensor.camera_height // tcfg.img_h, 1)
+    lid_dec = cam_scale
+    model = LidarCenterNet(tcfg)
+    B0 = 2
+    tpl = jax.eval_shape(
+        model.init, jax.random.key(0),
+        jnp.zeros((B0, tcfg.img_h, tcfg.img_w, 3)),
+        jnp.zeros((B0, tcfg.lidar_h, tcfg.lidar_w, tcfg.lidar_channels)),
+        jnp.zeros((B0, 2)), jnp.zeros((B0, 6)), jnp.zeros((B0,)))
+    import numpy as _np
+    tpl = jax.tree.map(lambda s: _np.zeros(s.shape, s.dtype), tpl)
+    policy_params, _ = load_checkpoint(args.checkpoint, tpl)
+    cam_grid = camera_ray_grid(base, scale=cam_scale)
+    lid_f = lidar_ray_grid(base, half=0, decimate=lid_dec)
+    lid_r = lidar_ray_grid(base, half=1, decimate=lid_dec)
+    n_lidar = lid_f.shape[0] * lid_f.shape[1]
+    policy = make_transfuser_policy(
+        model, None, tcfg, cam_grid, lid_f, lid_r, direct=True, bf16=True,
+        brake_threshold=args.uncertainty_threshold,
+        jpeg_quality=args.jpeg_quality)
+    agent_reset = lambda cfg_, B: sensor_agent_reset(cfg_, B, n_lidar)
+
   for bench in args.benchmarks:
     cfg = longest6_config() if bench == "longest6" else GlobalConfig()
     cfg = cfg.replace(sim=dataclasses.replace(cfg.sim,
                                               max_vehicles=capacity))
     t0 = time.time()
+    kw = {}
+    if policy is not None:
+      kw = dict(policy=policy, policy_params=policy_params,
+                agent_reset=agent_reset)
     records, g = run_carla_benchmark(
         cfg=cfg, benchmark=bench, reps=args.reps,
         n_vehicles=n_vehicles, n_walkers=args.n_walkers,
         use_scenarios=not args.no_scenarios,
         single_batch=args.single_batch, seed=args.seed,
-        analysis_dir=args.analysis_dir)
+        analysis_dir=args.analysis_dir, max_ticks=args.max_ticks, **kw)
     wall = time.time() - t0
     print_table(records)
     print(f"{bench}: {json.dumps(g)} ({wall:.0f}s)", flush=True)
@@ -92,9 +149,13 @@ def main():
         "wall_s": round(wall, 1),
         "cmdline": " ".join(sys.argv),
     }
-    write_endpoint(records, g, f"results/{bench}_expert{suffix}.json",
-                   meta=meta)
-    write_csv(records, f"results/{bench}_expert{suffix}.csv")
+    if args.agent != "expert":
+      meta["checkpoint"] = args.checkpoint
+      meta["uncertainty_threshold"] = args.uncertainty_threshold
+      meta["jpeg_quality"] = args.jpeg_quality
+    write_endpoint(records, g,
+                   f"results/{bench}_{args.agent}{suffix}.json", meta=meta)
+    write_csv(records, f"results/{bench}_{args.agent}{suffix}.csv")
 
 
 if __name__ == "__main__":
