@@ -225,9 +225,13 @@ def main():
   print(f"params: {n_params/1e6:.1f}M", flush=True)
 
   from carla_garage_tpu.train.plant_train import make_schedule
+  # schedule spans BC + DAgger: multistep's 0.64/0.85 milestones are
+  # fractions of the TOTAL optimizer steps, otherwise every DAgger round
+  # would run at the post-decay 0.01x floor and learn nothing
+  total_steps = args.steps + args.dagger_rounds * args.dagger_steps
   tx = optax.chain(
       optax.clip_by_global_norm(1.0),
-      optax.adamw(make_schedule("multistep", args.lr, args.steps),
+      optax.adamw(make_schedule("multistep", args.lr, total_steps),
                   weight_decay=0.01))
   d0 = datasets[0]
   step_fn, eval_fn, _ = make_transfuser_train_step(
