@@ -105,12 +105,37 @@ def criteria_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
                         ego.pos[:, None])[:, 0]
   in_junc = maps.sample(scene.town_id[:, None], Layer.JUNCTION,
                         ego.pos[:, None])[:, 0]
+  # The reference resolves the ego to its NEAREST driving-lane waypoint
+  # and flags distance driven where that lane's direction OPPOSES the
+  # route's (atomic_criteria :1040-1233) — so an ego straddling the
+  # centerline still maps to its own lane, and reversing during a
+  # recovery maneuver is not "wrong lane". A single-pixel raster sample
+  # under the ego flags a half-lane graze as opposite-lane; instead probe
+  # laterally at {0, ±half-lane} and flag only when NO reachable lane
+  # pixel agrees with the LOCAL ROUTE heading (nearest-lane semantics).
+  nb_rel = jnp.argmin(jnp.where(in_route_b, db, jnp.inf), -1)       # [B]
+  nb = jnp.take_along_axis(qb, nb_rel[:, None], 1)[:, 0]            # [B]
+  p0 = jnp.take_along_axis(scene.route.points, nb[:, None, None],
+                           1)[:, 0]
+  p1 = jnp.take_along_axis(scene.route.points,
+                           jnp.clip(nb + 1, 0, R - 1)[:, None, None],
+                           1)[:, 0]
+  seg_d = p1 - p0
+  degenerate = jnp.linalg.norm(seg_d, axis=-1) < 1e-3
+  route_yaw = jnp.where(degenerate, ego.yaw,
+                        jnp.arctan2(seg_d[..., 1], seg_d[..., 0]))
+  lat = jnp.stack([-jnp.sin(ego.yaw), jnp.cos(ego.yaw)], -1)    # [B,2]
+  offs = jnp.asarray([0.0, -1.75, 1.75])
+  probes = ego.pos[:, None] + offs[None, :, None] * lat[:, None]  # [B,3,2]
   dir_bin = maps.sample_value(scene.town_id[:, None], Layer.LANE_DIR,
-                              ego.pos[:, None])[:, 0]
+                              probes)                             # [B,3]
   lane_yaw = (dir_bin - 1).astype(jnp.float32) * (2 * jnp.pi / 16.0)
-  yaw_diff = jnp.abs(geo.normalize_angle(ego.yaw - lane_yaw))
+  yaw_diff = jnp.abs(geo.normalize_angle(route_yaw[:, None] - lane_yaw))
+  has_dir = dir_bin > 0
+  agrees = has_dir & (yaw_diff <= 2.0)
   moving = ego.speed > c.blocked_speed_threshold
-  wrong_lane = on_road & ~in_junc & (dir_bin > 0) & (yaw_diff > 2.0) & moving
+  wrong_lane = on_road & ~in_junc & jnp.any(has_dir, -1) & \
+      ~jnp.any(agrees, -1) & moving
   off = ~on_road | wrong_lane
   outside_lane_m = cr.outside_lane_m + jnp.where(off, step_m, 0.0)
 

@@ -125,3 +125,70 @@ def test_longest6_stop_penalty_is_one():
   cfg = longest6_config()
   assert cfg.criteria.penalty_stop == 1.0
   assert CFG.criteria.penalty_stop == 0.8
+
+
+def test_wrong_lane_nearest_lane_semantics():
+  """Outside-route-lanes wrong-direction case (atomic_criteria :1040-1233):
+  the reference projects the ego to its NEAREST driving lane and compares
+  that lane's direction to the route's. So (a) driving on the route is
+  clean, (b) grazing the centerline by a fraction of a lane is still
+  clean (nearest lane is the ego's own), (c) fully entering the opposing
+  carriageway accrues wrong-lane meters."""
+  from carla_garage_tpu.maps.town_map import Layer
+  from carla_garage_tpu.sim.criteria import criteria_step
+
+  maps, scene, state = _setup()
+  pts = np.asarray(scene.route.points[0])
+  nv = int(np.asarray(scene.route.num_valid)[0])
+  LANE_W = 3.5
+
+  def lane_dir_at(p):
+    return int(np.asarray(maps.sample_value(
+        scene.town_id[:, None], Layer.LANE_DIR,
+        jnp.asarray(p, jnp.float32)[None, None]))[0, 0])
+
+  def in_junction(p):
+    return bool(np.asarray(maps.sample(
+        scene.town_id[:, None], Layer.JUNCTION,
+        jnp.asarray(p, jnp.float32)[None, None]))[0, 0])
+
+  # find a mid-segment route point: outside junctions (incl. the probe
+  # footprint) with a directed opposing lane one lane-width to the left
+  k, h, right = None, None, None
+  for cand in range(5, min(nv - 2, 60)):
+    d = pts[cand + 1] - pts[cand]
+    n = np.linalg.norm(d)
+    if n < 1e-3:
+      continue
+    hh = d / n
+    rr = np.array([-hh[1], hh[0]])   # right_of(yaw), maps/synthetic.py
+    opposing = pts[cand] - LANE_W * rr
+    if in_junction(pts[cand]) or in_junction(opposing):
+      continue
+    if lane_dir_at(pts[cand]) > 0 and lane_dir_at(opposing) > 0 and \
+       lane_dir_at(opposing) != lane_dir_at(pts[cand]):
+      k, h, right = cand, hh, rr
+      break
+  assert k is not None, "no usable two-way segment on the test route"
+  yaw = float(np.arctan2(h[1], h[0]))
+
+  def outside_delta(pos_xy):
+    """One 0.5 m step of driving at pos_xy; returns outside-lane meters."""
+    ego = state.ego.replace(
+        pos=jnp.asarray([pos_xy], jnp.float32),
+        yaw=jnp.asarray([yaw], jnp.float32),
+        speed=jnp.asarray([5.0], jnp.float32))
+    cr = state.criteria.replace(
+        max_route_idx=jnp.asarray([k], jnp.int32))
+    st = state.replace(ego=ego, criteria=cr,
+                       tick=jnp.asarray([100], jnp.int32))
+    prev = jnp.asarray([pos_xy - 0.5 * h], jnp.float32)
+    out = criteria_step(CFG, maps, scene, prev, st)
+    return float(out.outside_lane_m[0])
+
+  on_route = outside_delta(pts[k])
+  graze = outside_delta(pts[k] - (LANE_W / 2 + 0.3) * right)
+  opposing = outside_delta(pts[k] - LANE_W * right)
+  assert on_route == 0.0, on_route
+  assert graze == 0.0, graze                    # nearest lane is still ours
+  assert opposing > 0.4, opposing               # fully wrong carriageway
