@@ -46,7 +46,8 @@ def criteria_reset(B: int, V: int, W: int, L: int, S: int) -> CriteriaState:
       static_overlap=z_i,
       red_light_cooldown=jnp.zeros((B, L), bool),
       stop_pending=jnp.zeros((B, S), bool),
-      stop_done=jnp.zeros((B, S), bool))
+      stop_done=jnp.zeros((B, S), bool),
+      stop_entered=jnp.zeros((B, S), bool))
 
 
 def criteria_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
@@ -197,18 +198,42 @@ def criteria_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
   penalty *= jnp.power(c.penalty_traffic_light, n_red_new.astype(jnp.float32))
   red_latch = inside  # latched while inside; re-arm on exit
 
-  # --- stop signs (:1883-2048): must reach ~0 speed inside the trigger ---
+  # --- stop signs: RunningStopTest (:1883-2048) state machine ---
+  # The reference targets a sign only when the ego's OWN-LANE waypoints
+  # over the next 20 m enter the trigger volume (is_actor_affected_by_stop
+  # walks map.get_waypoint(...).next(1.0) — so a corner-clip of an
+  # adjacent lane's per-lane sign box never arms the test), records
+  # _affected_by_stop when the ego CENTER point is inside the box, counts
+  # a stop as completed if speed < SPEED_THRESHOLD (0.1 m/s) at ANY tick
+  # while targeted (even before the box), and scores the violation on
+  # release (lookahead no longer hits the box). Here the lane walk is a
+  # straight 20 m heading ray (stop approaches are straight) and the box
+  # point test keeps the sign's true rotation (the reference's
+  # point_inside_boundingbox drops rotation — axis-aligned — which would
+  # distort our diagonal synthesized signs).
   stops = scene.stops
   facing_s = jnp.abs(geo.normalize_angle(
       stops.yaw - ego.yaw[:, None])) < 0.8
-  in_stop = geo.obb_intersect(
-      ego.pos[:, None], ego.yaw[:, None], ego_e[None, None],
-      stops.pos, stops.yaw, stops.extent) & stops.valid & facing_s
-  stopped = ego.speed < c.blocked_speed_threshold
-  satisfied = cr.stop_pending & in_stop & stopped[:, None]
-  violated = cr.stop_pending & ~in_stop & ~cr.stop_done   # left w/o stopping
-  stop_done = cr.stop_done | satisfied | violated
-  stop_pending = in_stop & ~stop_done
+  fwd = jnp.stack([jnp.cos(ego.yaw), jnp.sin(ego.yaw)], -1)     # [B,2]
+  t_look = jnp.linspace(0.0, 20.0, 11)
+  look = ego.pos[:, None] + t_look[None, :, None] * fwd[:, None]  # [B,T,2]
+  rel = look[:, None] - stops.pos[:, :, None]                 # [B,S,T,2]
+  cy, sy = jnp.cos(stops.yaw), jnp.sin(stops.yaw)             # [B,S]
+  lx = rel[..., 0] * cy[..., None] + rel[..., 1] * sy[..., None]
+  ly = -rel[..., 0] * sy[..., None] + rel[..., 1] * cy[..., None]
+  inside_pt = (jnp.abs(lx) <= stops.extent[..., 0:1]) & \
+      (jnp.abs(ly) <= stops.extent[..., 1:2])                 # [B,S,T]
+  gate = stops.valid & facing_s
+  targeted = jnp.any(inside_pt, -1) & gate
+  center_in = inside_pt[..., 0] & gate
+  stopped = ego.speed < c.blocked_speed_threshold   # SPEED_THRESHOLD = 0.1
+  pending_now = targeted & ~cr.stop_done
+  released = cr.stop_pending & ~targeted
+  violated = released & cr.stop_entered & ~cr.stop_done
+  satisfied = pending_now & stopped[:, None]
+  stop_done = cr.stop_done | satisfied | released
+  stop_pending = pending_now
+  stop_entered = (cr.stop_entered | (pending_now & center_in)) & ~stop_done
   n_stop_new = jnp.sum(violated, -1).astype(jnp.int32)
   penalty *= jnp.power(c.penalty_stop, n_stop_new.astype(jnp.float32))
 
@@ -254,7 +279,8 @@ def criteria_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
       deviated=deviated, blocked=blocked, timed_out=timed_out,
       veh_overlap=cd_v, wlk_overlap=cd_w, static_overlap=cd_s,
       red_light_cooldown=red_latch,
-      stop_pending=stop_pending, stop_done=stop_done)
+      stop_pending=stop_pending, stop_done=stop_done,
+      stop_entered=stop_entered)
 
 
 def episode_done(cfg: GlobalConfig, state: SimState) -> jnp.ndarray:

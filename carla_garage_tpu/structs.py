@@ -224,8 +224,9 @@ class CriteriaState:
   wlk_overlap: jnp.ndarray           # [B,W] int32 cooldown ticks
   static_overlap: jnp.ndarray        # [B] int32 cooldown ticks
   red_light_cooldown: jnp.ndarray    # [B] per-light latched mask, [B,L] bool
-  stop_pending: jnp.ndarray          # [B,S] bool — inside trigger, not yet stopped
+  stop_pending: jnp.ndarray          # [B,S] bool — sign targeted (20 m lane lookahead)
   stop_done: jnp.ndarray             # [B,S] bool — stop satisfied / scored
+  stop_entered: jnp.ndarray          # [B,S] bool — ego center was inside the box
   # Infraction event log (TrafficEvent analog, statistics_manager:33-57):
   # position + kind + tick of each scored infraction, for the result
   # parser's per-town infraction maps and replay clips

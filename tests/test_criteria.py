@@ -192,3 +192,39 @@ def test_wrong_lane_nearest_lane_semantics():
   assert on_route == 0.0, on_route
   assert graze == 0.0, graze                    # nearest lane is still ours
   assert opposing > 0.4, opposing               # fully wrong carriageway
+
+
+def test_stop_sign_reference_semantics():
+  """RunningStopTest nuances (atomic_criteria :1883-2048): (a) stopping
+  while TARGETED but before the box counts as compliance (the reference's
+  _stop_completed can latch at any tick while the sign is the target);
+  (b) passing one lane over — center never inside the box, lane lookahead
+  ray parallel — never arms the test, so no infraction."""
+  maps, scene, state = _setup()
+  sp = np.asarray(scene.stops.pos[0])
+  sv = np.asarray(scene.stops.valid[0])
+  si = int(np.nonzero(sv)[0][0])
+  stop_pos = sp[si]
+  stop_yaw = float(np.asarray(scene.stops.yaw[0])[si])
+  u = np.array([np.cos(stop_yaw), np.sin(stop_yaw)])
+  n = np.array([-np.sin(stop_yaw), np.cos(stop_yaw)])
+  far = stop_pos + 50.0 * u
+
+  # (a) halt 5 m short of the line (ray targets the box), then roll
+  # through the box without stopping again: satisfied, no infraction
+  st = _step_at(maps, scene, state, stop_pos - 5.0 * u, speed=5.0,
+                yaw=stop_yaw)
+  st = _step_at(maps, scene, st, stop_pos - 5.0 * u, speed=0.0,
+                yaw=stop_yaw)
+  st = _step_at(maps, scene, st, stop_pos, speed=5.0, yaw=stop_yaw)
+  st = _step_at(maps, scene, st, far, speed=5.0, yaw=stop_yaw)
+  assert int(st.criteria.n_stop_sign[0]) == 0
+
+  # (b) adjacent lane: center offset past the box half-width; driving by
+  # at speed arms nothing and scores nothing
+  off = 2.1 * n   # box lateral half-extent is 1.75
+  st = _step_at(maps, scene, state, stop_pos - 5.0 * u + off, speed=5.0,
+                yaw=stop_yaw)
+  st = _step_at(maps, scene, st, stop_pos + off, speed=5.0, yaw=stop_yaw)
+  st = _step_at(maps, scene, st, far + off, speed=5.0, yaw=stop_yaw)
+  assert int(st.criteria.n_stop_sign[0]) == 0
