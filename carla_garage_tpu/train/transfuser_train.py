@@ -193,7 +193,8 @@ def mean_iou(pred_cls: jnp.ndarray, label: jnp.ndarray,
 
 
 def transfuser_loss(cfg: GlobalConfig, tcfg: TransfuserConfig,
-                    model: LidarCenterNet, params, batch, log_vars=None):
+                    model: LidarCenterNet, params, batch, log_vars=None,
+                    speed_weights=SPEED_WEIGHTS):
   out = model.apply(params, batch["rgb"], batch["lidar_bev"],
                     batch["target_point"], batch["command_onehot"],
                     batch["speed"])
@@ -214,7 +215,7 @@ def transfuser_loss(cfg: GlobalConfig, tcfg: TransfuserConfig,
       jnp.abs(out["pred_checkpoint"] - batch["ckpt_label"]))
   losses["target_speed"] = cross_entropy(
       out["pred_target_speed"], batch["speed_label"],
-      weights=SPEED_WEIGHTS, label_smoothing=0.1, sample_weight=sw)
+      weights=speed_weights, label_smoothing=0.1, sample_weight=sw)
   if "pred_wp" in out:
     # wp_w=0 for DAgger-collected frames: their "future ego positions" are
     # the learned policy's own (wrong) trajectory, not expert waypoints
@@ -279,7 +280,8 @@ def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,
                                model: LidarCenterNet, tx, maps, scene,
                                frames: Frames, camera_grid, lidar_grid,
                                learn_loss_weights: bool = False,
-                               bf16: bool = False):
+                               bf16: bool = False,
+                               speed_weights=SPEED_WEIGHTS):
   """Returns (train_step, eval_step, wp_valid).
 
   train_step is a jitted (trainable, opt_state, f_idx, rng, maps, scene,
@@ -354,8 +356,10 @@ def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,
     if learn_loss_weights:
       params, log_vars = trainable
       return transfuser_loss(cfg, tcfg, model, cast_params(params), batch,
-                             log_vars=log_vars)
-    return transfuser_loss(cfg, tcfg, model, cast_params(trainable), batch)
+                             log_vars=log_vars,
+                             speed_weights=speed_weights)
+    return transfuser_loss(cfg, tcfg, model, cast_params(trainable), batch,
+                           speed_weights=speed_weights)
 
   @jax.jit
   def train_step(trainable, opt_state, f_idx, rng, maps_, scene_, frames_,
@@ -370,7 +374,8 @@ def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,
   @jax.jit
   def eval_step(params, f_idx, rng, maps_, scene_, frames_):
     batch = make_flat_batch(maps_, scene_, frames_, f_idx, rng)
-    _, aux = transfuser_loss(cfg, tcfg, model, cast_params(params), batch)
+    _, aux = transfuser_loss(cfg, tcfg, model, cast_params(params), batch,
+                             speed_weights=speed_weights)
     out = model.apply(cast_params(params), batch["rgb"], batch["lidar_bev"],
                       batch["target_point"], batch["command_onehot"],
                       batch["speed"])

@@ -98,8 +98,23 @@ def build_dataset(args, seed: int, collect=None):
   frames = frames.replace(alive=frames.alive & jnp.asarray(clean)[None, :])
   _, wp_valid = waypoint_labels(frames)
   usable = np.nonzero(np.asarray(wp_valid).any(-1))[0]
+  # brake-frame pool + class counts: closed-loop failures are dominated by
+  # missed-brake collisions, but brake states are rare in clean expert
+  # rollouts — oversample frames where >=1 episode is brake-labeled and
+  # estimate inverse-frequency class weights from THIS data distribution
+  # (the reference's fixed target_speed_weights, config.py:158, encode the
+  # reference dataset's distribution, not ours)
+  from carla_garage_tpu.sim.datagen import target_speed_labels
+  sl = np.asarray(target_speed_labels(frames, CFG, brake_lookahead=2))
+  alive = np.asarray(frames.alive) & np.asarray(wp_valid)
+  brake_rows = ((sl == 0) & alive).any(-1)
+  usable_brake = np.asarray(
+      [i for i in usable if brake_rows[i]], np.int64)
+  counts = np.bincount(sl[alive].ravel(), minlength=4).astype(np.float64)
   return dict(maps=maps, lanes=lanes, scene=scene, frames=frames,
-              usable=usable, n_clean=int(clean.sum()), collect=collect)
+              usable=usable, usable_brake=usable_brake,
+              speed_counts=counts, n_clean=int(clean.sum()),
+              collect=collect)
 
 
 def build_dagger_dataset(args, tcfg, model, params, cam_grid, lid_f, lid_r,
@@ -115,7 +130,8 @@ def build_dagger_dataset(args, tcfg, model, params, cam_grid, lid_f, lid_r,
       CFG, batch=args.episodes, seed=seed, n_vehicles=n_veh, n_walkers=2)
   n_lidar = lid_f.shape[0] * lid_f.shape[1]
   policy = make_transfuser_policy(model, None, tcfg, cam_grid, lid_f, lid_r,
-                                  direct=True, bf16=True)
+                                  direct=True, bf16=True,
+                                  brake_threshold=0.33)
   st = state.replace(agent=sensor_agent_reset(CFG, args.episodes, n_lidar))
   chunk = 20
   collect = jax.jit(lambda mp, ln, sc, s2, p: collect_dagger_frames(
@@ -131,7 +147,10 @@ def build_dagger_dataset(args, tcfg, model, params, cam_grid, lid_f, lid_r,
 
 
 def closed_loop_eval(args, tcfg, model, params, cam_grid, lid_f, lid_r,
-                     n_routes: int, seed: int, max_ticks: int = 6000):
+                     n_routes: int, seed: int, max_ticks: int = 6000,
+                     brake_threshold: float = 0.33):
+  """brake_threshold=0.33 is the reference's published Longest6 operating
+  point (UNCERTAINTY_THRESHOLD=0.33, README.md:82-84)."""
   town, maps, lanes, scene, state = make_synthetic_batch(
       CFG, batch=n_routes, seed=seed, n_vehicles=8, n_walkers=2)
   route_lens = jnp.asarray([
@@ -140,7 +159,8 @@ def closed_loop_eval(args, tcfg, model, params, cam_grid, lid_f, lid_r,
       for i in range(n_routes)])
   n_lidar = lid_f.shape[0] * lid_f.shape[1]
   policy = make_transfuser_policy(model, None, tcfg, cam_grid, lid_f, lid_r,
-                                  direct=True, bf16=True)
+                                  direct=True, bf16=True,
+                                  brake_threshold=brake_threshold)
   st = state.replace(agent=sensor_agent_reset(CFG, n_routes, n_lidar))
   final = rollout_chunked(CFG, maps, lanes, scene, st, max_ticks,
                           chunk=512, policy=policy, policy_params=params)
@@ -176,6 +196,12 @@ def main():
   ap.add_argument("--eval-routes", type=int, default=8)
   ap.add_argument("--dagger-rounds", type=int, default=0,
                   help="on-policy fine-tune rounds after BC")
+  ap.add_argument("--brake-oversample", type=float, default=0.5,
+                  help="probability a sampled frame comes from the "
+                       "brake-labeled pool (0 disables)")
+  ap.add_argument("--eval-brake-threshold", type=float, default=0.33,
+                  help="closed-loop brake-probability override (reference "
+                       "Longest6 op point UNCERTAINTY_THRESHOLD=0.33)")
   ap.add_argument("--dagger-steps", type=int, default=2000)
   ap.add_argument("--dagger-frames", type=int, default=160)
   ap.add_argument("--out", default="checkpoints/transfuser_full")
@@ -206,8 +232,14 @@ def main():
     datasets.append(ds)
     print(f"dataset {d}: {args.episodes}x{args.frames} frames, "
           f"{ds['n_clean']}/{args.episodes} clean episodes, "
-          f"{len(ds['usable'])} usable frames", flush=True)
+          f"{len(ds['usable'])} usable frames "
+          f"({len(ds['usable_brake'])} brake-bearing)", flush=True)
   print(f"datagen: {time.time()-t0:.0f}s total", flush=True)
+  # inverse-frequency speed-class weights over the aggregate distribution
+  counts = np.maximum(sum(ds["speed_counts"] for ds in datasets), 1.0)
+  speed_weights = tuple((counts.sum() / (4.0 * counts)).tolist())
+  print(f"speed-class counts {counts.astype(int).tolist()} -> "
+        f"weights {[round(w, 3) for w in speed_weights]}", flush=True)
 
   # ---- model / optimizer ----
   model = LidarCenterNet(tcfg)
@@ -236,8 +268,17 @@ def main():
   d0 = datasets[0]
   step_fn, eval_fn, _ = make_transfuser_train_step(
       CFG, tcfg, model, tx, d0["maps"], d0["scene"], d0["frames"],
-      cam_grid, lid_grid, bf16=not args.no_bf16)
+      cam_grid, lid_grid, bf16=not args.no_bf16,
+      speed_weights=speed_weights)
   opt_state = tx.init(params)
+
+  def sample_frames(ds, k):
+    """k frame indices; each independently drawn from the brake-bearing
+    pool with prob --brake-oversample (rare-hazard oversampling)."""
+    pools = [ds["usable_brake"] if (len(ds["usable_brake"]) and
+                                    np_rng.random() < args.brake_oversample)
+             else ds["usable"] for _ in range(k)]
+    return jnp.asarray([np_rng.choice(p) for p in pools], jnp.int32)
 
   # ---- training loop ----
   np_rng = np.random.default_rng(0)
@@ -247,8 +288,7 @@ def main():
   t0 = time.time()
   for i in range(args.steps):
     ds = datasets[i % len(datasets)]
-    f_idx = jnp.asarray(np_rng.choice(ds["usable"],
-                                      size=args.frames_per_step), jnp.int32)
+    f_idx = sample_frames(ds, args.frames_per_step)
     rng, sub = jax.random.split(rng)
     params, opt_state, aux = step_fn(params, opt_state, f_idx, sub,
                                      ds["maps"], ds["scene"], ds["frames"])
@@ -261,7 +301,8 @@ def main():
             f"({h['wall_s']:.0f}s)", flush=True)
     if args.eval_every and (i + 1) % args.eval_every == 0:
       ev = closed_loop_eval(args, tcfg, model, params, cam_grid, lid_front,
-                            lid_rear, args.eval_routes, seed=321)
+                            lid_rear, args.eval_routes, seed=321,
+                            brake_threshold=args.eval_brake_threshold)
       ev["step"] = i + 1
       evals.append(ev)
       print(f"eval @{i+1}: {ev}", flush=True)
@@ -284,9 +325,10 @@ def main():
       on_policy = (i % 2 == 0)
       ds = dset if on_policy else datasets[(i // 2) % len(datasets)]
       wp_w = 0.0 if on_policy else 1.0
-      f_idx = jnp.asarray(np_rng.choice(ds["usable"],
-                                        size=args.frames_per_step),
-                          jnp.int32)
+      f_idx = (jnp.asarray(np_rng.choice(ds["usable"],
+                                         size=args.frames_per_step),
+                           jnp.int32)
+               if on_policy else sample_frames(ds, args.frames_per_step))
       rng, sub = jax.random.split(rng)
       params, opt_state, aux = step_fn(params, opt_state, f_idx, sub,
                                        ds["maps"], ds["scene"],
@@ -295,7 +337,8 @@ def main():
         print(f"dagger {r} step {i}: loss {float(aux['loss']):.3f}",
               flush=True)
     ev = closed_loop_eval(args, tcfg, model, params, cam_grid, lid_front,
-                          lid_rear, args.eval_routes, seed=321)
+                          lid_rear, args.eval_routes, seed=321,
+                          brake_threshold=args.eval_brake_threshold)
     ev["step"] = args.steps + (r + 1) * args.dagger_steps
     ev["dagger_round"] = r
     evals.append(ev)
@@ -317,7 +360,8 @@ def main():
   # ---- final closed-loop eval (held-out seed) ----
   final_ev = closed_loop_eval(args, tcfg, model, best_params, cam_grid,
                               lid_front, lid_rear, args.eval_routes,
-                              seed=4321)
+                              seed=4321,
+                              brake_threshold=args.eval_brake_threshold)
   out = {
       "transfuser_DS": final_ev["DS"],
       "transfuser_RC": final_ev["RC"],
