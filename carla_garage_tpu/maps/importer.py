@@ -275,16 +275,31 @@ def signal_hints_for(town: str, root: str = DEFAULT_ASSETS) -> dict | None:
 
 
 def scenarios_near_route(scenarios: dict, dense: np.ndarray,
-                         radius: float = 8.0) -> dict:
-  """Filter trigger points to those near the route, with their route
-  progress index (the RouteParser trigger-matching analog)."""
+                         radius: float = 8.0,
+                         yaw_tol: float = np.radians(20.0)) -> dict:
+  """Filter trigger points to those near the route AND facing the route's
+  travel direction, with their route progress index.
+
+  The reference RouteParser matches a trigger to the route by position
+  (TRIGGER_THRESHOLD = 2 m) *and* heading (TRIGGER_ANGLE_THRESHOLD = 10°,
+  route_parser.py:19-20,137-138) — without the heading gate, annotations
+  belonging to the CROSS street of a junction attach to the ego's route
+  and spawn e.g. crossing walkers that walk along (not across) the ego's
+  road. The yaw test is evaluated per dense point so a self-overlapping
+  route matches the pass whose direction agrees with the annotation."""
+  seg = np.diff(dense[:, :2], axis=0)
+  ryaw = np.arctan2(seg[:, 1], seg[:, 0])
+  ryaw = np.append(ryaw, ryaw[-1])                       # [N]
   out = {}
   for k, pts in scenarios.items():
     if not len(pts):
       continue
     d = np.linalg.norm(dense[None, :, :2] - pts[:, None, :2], axis=-1)
-    route_idx = d.argmin(1)
-    near = d.min(1) < radius
+    dyaw = np.abs(np.arctan2(np.sin(pts[:, 2:3] - ryaw[None]),
+                             np.cos(pts[:, 2:3] - ryaw[None])))   # [K,N]
+    ok = (d < radius) & (dyaw < yaw_tol)
+    near = ok.any(1)
+    route_idx = np.where(ok, d, np.inf).argmin(1)
     sel = np.nonzero(near)[0]
     out[k] = (pts[sel], route_idx[sel])
   return out

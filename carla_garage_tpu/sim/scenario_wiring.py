@@ -169,8 +169,13 @@ def build_benchmark_scenarios(cfg, town, episodes, anns, seed: int = 0):
       pts = np.concatenate(cross)
       sel = rng.permutation(len(pts))[:W]
       for x, y, yaw in pts[sel]:
+        fwd = np.array([np.cos(yaw), np.sin(yaw)], np.float32)
         right = np.array([-np.sin(yaw), np.cos(yaw)], np.float32)
-        sites.append((np.array([x, y], np.float32) + right * 6.0, -right))
+        # the reference spawns the crossing _start_distance = 12 m PAST
+        # the trigger waypoint (object_crash_vehicle.py:248-269), so the
+        # braking ego stops short of the crossing line instead of on it
+        sites.append((np.array([x, y], np.float32) + fwd * 12.0 +
+                      right * 6.0, -right))
     walker_sites.append(sites)
 
     # --- Scenario1: control loss from annotations ---
