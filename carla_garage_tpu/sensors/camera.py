@@ -19,15 +19,21 @@ from carla_garage_tpu.sensors.raycast import Sem, cast_rays
 from carla_garage_tpu.sim import geometry as geo
 from carla_garage_tpu.structs import Scene, SimState
 
-# BGR->RGB of config.py:385-393 classes_list
+# BGR->RGB of config.py:385-393 classes_list, extended with render-only
+# light-state colors (rows 7/8): the UE4 camera shows the lit bulb, which
+# is the only non-privileged red-vs-green cue — state-blind RGB makes
+# red-light compliance unlearnable (Sem.LIGHT_GREEN/LIGHT_YELLOW).
 PALETTE = np.array([
     [0, 0, 0],          # unlabeled / sky
     [30, 170, 250],     # vehicle
     [200, 200, 200],    # road
-    [255, 255, 0],      # traffic light
-    [0, 255, 0],        # pedestrian
+    [255, 40, 20],      # traffic light — RED state
+    [220, 20, 60],      # pedestrian (CARLA crimson — distinct from the
+                        # green-light color below)
     [0, 255, 255],      # road line
     [255, 255, 255],    # sidewalk
+    [40, 255, 70],      # traffic light — GREEN state (render-only class)
+    [255, 210, 40],     # traffic light — YELLOW state (render-only class)
 ], np.float32) / 255.0
 
 
@@ -65,13 +71,16 @@ def render_camera(cfg: GlobalConfig, maps: MapStack, scene: Scene,
 
   out = cast_rays(cfg, maps, scene, state, origins, dirs,
                   grid_hw=(H, W), ground_subsample=4)
-  sem = out["sem"].reshape(B, H, W)
+  sem_render = out["sem"].reshape(B, H, W)
   depth = out["depth"].reshape(B, H, W)
   shade = 1.0 / (1.0 + 0.02 * depth)
   # palette lookup as one-hot matmul: a per-pixel gather costs ~12 ns/elem
   # on TPU; one_hot+matmul rides the MXU instead
   import jax
-  rgb = jax.nn.one_hot(sem, PALETTE.shape[0],
+  rgb = jax.nn.one_hot(sem_render, PALETTE.shape[0],
                        dtype=jnp.float32) @ jnp.asarray(PALETTE)
   rgb = rgb * shade[..., None]
+  # the 7-class SEMANTIC label keeps the reference taxonomy: all light
+  # states collapse to Sem.LIGHT (state shows in RGB only, like UE4)
+  sem = jnp.where(sem_render >= Sem.LIGHT_GREEN, Sem.LIGHT, sem_render)
   return {"rgb": rgb, "semantic": sem, "depth": depth}

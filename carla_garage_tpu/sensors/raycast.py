@@ -31,10 +31,25 @@ class Sem:
   SKY = 0
   VEHICLE = 1
   ROAD = 2
-  LIGHT = 3
+  LIGHT = 3        # red (the safety-critical default)
   WALKER = 4
   ROAD_LINE = 5
   SIDEWALK = 6
+  # Render-only light states: the UE4 camera shows the lit bulb, which is
+  # the ONLY cue a non-privileged policy has for red vs green — without it
+  # the RGB is state-blind and red-light compliance is unlearnable. The
+  # 7-class semantic output collapses these back to LIGHT.
+  LIGHT_GREEN = 7
+  LIGHT_YELLOW = 8
+  NUM_RENDER = 9
+
+
+def light_render_class(lstate: jnp.ndarray) -> jnp.ndarray:
+  """Per-light render class from a LightState array (broadcast-safe)."""
+  from carla_garage_tpu.structs import LightState
+  return jnp.where(lstate == LightState.GREEN, Sem.LIGHT_GREEN,
+                   jnp.where(lstate == LightState.YELLOW,
+                             Sem.LIGHT_YELLOW, Sem.LIGHT)).astype(jnp.int32)
 
 
 def ray_box(o, d, center, yaw, extent):
@@ -76,13 +91,15 @@ def _gather_boxes(cfg: GlobalConfig, scene: Scene, state: SimState):
   lights = scene.lights
 
   def pack(pos, yaw, ext_xy, ez, cls_id, valid):
-    K = yaw.shape[1]
+    cls_arr = jnp.broadcast_to(
+        jnp.asarray(cls_id, jnp.float32), yaw.shape)
     return jnp.stack([
         pos[..., 0], pos[..., 1], jnp.cos(yaw), jnp.sin(yaw),
         ext_xy[..., 0], ext_xy[..., 1],
-        jnp.full_like(yaw, ez), jnp.full_like(yaw, float(cls_id)),
+        jnp.full_like(yaw, ez), cls_arr,
         valid.astype(jnp.float32)], -1)
 
+  light_cls = light_render_class(lights.state_at(state.time_s))
   return jnp.concatenate([
       pack(veh.pos, veh.yaw, veh.extent, VEHICLE_HEIGHT / 2,
            Sem.VEHICLE, veh.valid),
@@ -91,8 +108,32 @@ def _gather_boxes(cfg: GlobalConfig, scene: Scene, state: SimState):
       pack(lights.pos, lights.yaw,
            jnp.broadcast_to(jnp.array([0.3, 0.3]),
                             lights.pos.shape[:-1] + (2,)),
-           LIGHT_POLE_HEIGHT / 2, Sem.LIGHT, lights.valid),
+           LIGHT_POLE_HEIGHT / 2, light_cls, lights.valid),
   ], axis=1)
+
+
+def cull_boxes(boxes: jnp.ndarray, ego_pos: jnp.ndarray,
+               max_boxes: int = 48, max_range: float = MAX_DEPTH
+               ) -> jnp.ndarray:
+  """Keep the max_boxes nearest valid boxes per episode (ego-centric).
+
+  Sensor cost scales with rays x boxes; at honest traffic density (100+
+  town-wide NPCs) most boxes are beyond sensor range or sub-pixel. Culling
+  to the nearest K makes the render cost independent of town NPC count.
+  Boxes beyond max_range (+15 m slack for extents) are invalidated."""
+  import jax as _jax
+  K = boxes.shape[1]
+  if K <= max_boxes:
+    return boxes
+  d2 = (boxes[..., 0] - ego_pos[:, 0:1]) ** 2 + \
+       (boxes[..., 1] - ego_pos[:, 1:2]) ** 2
+  d2 = jnp.where(boxes[..., 8] > 0, d2, jnp.inf)
+  _, idx = _jax.lax.top_k(-d2, max_boxes)
+  sel = jnp.take_along_axis(boxes, idx[..., None], 1)
+  sel_d2 = jnp.take_along_axis(d2, idx, 1)
+  lim = (max_range + 15.0) ** 2
+  return sel.at[..., 8].set(
+      jnp.where(sel_d2 <= lim, sel[..., 8], 0.0))
 
 
 def cast_rays(cfg: GlobalConfig, maps: MapStack, scene: Scene,
@@ -154,7 +195,8 @@ def cast_rays(cfg: GlobalConfig, maps: MapStack, scene: Scene,
         [dirs, jnp.broadcast_to(jnp.array([1.0, 0.0, 1.0]),
                                 (B, Np - N, 3))], axis=1) \
         if Np != N else dirs
-    boxes = _gather_boxes(cfg, scene, state)
+    boxes = cull_boxes(_gather_boxes(cfg, scene, state), state.ego.pos,
+                       max_range=max_range)
     t_box, cls_box = raycast_boxes(origins[:, 0], dirs_p, boxes)
     t_box = t_box[:, :N]
     cls_box = cls_box[:, :N]
@@ -202,8 +244,11 @@ def _cast_rays_dense(cfg: GlobalConfig, scene: Scene, state: SimState,
   pole_ext = jnp.broadcast_to(
       jnp.array([0.3, 0.3, LIGHT_POLE_HEIGHT / 2]),
       lights.pos.shape[:-1] + (3,))
-  best_t, best_sem = test_boxes(best_t, best_sem, lights.pos, lights.yaw,
-                                pole_ext, lights.valid, Sem.LIGHT)
+  light_cls = light_render_class(lights.state_at(state.time_s))
+  for cls_id in (Sem.LIGHT, Sem.LIGHT_YELLOW, Sem.LIGHT_GREEN):
+    best_t, best_sem = test_boxes(
+        best_t, best_sem, lights.pos, lights.yaw, pole_ext,
+        lights.valid & (light_cls == cls_id), cls_id)
 
   depth = jnp.where(jnp.isfinite(best_t), best_t, max_range)
   depth = jnp.minimum(depth, max_range)

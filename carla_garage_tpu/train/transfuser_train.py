@@ -65,7 +65,11 @@ def render_frame_batch(cfg: GlobalConfig, maps, scene: Scene,
       extent=take(frames.wlk_extent), valid=take(frames.wlk_valid),
       seen_frames=jnp.zeros((B, W), jnp.int32),
       active=jnp.zeros((B, W), bool), walked_m=jnp.zeros((B, W)))
-  snap = SimState(tick=jnp.zeros((B,), jnp.int32),
+  # tick from the recorded sim time: the camera colors lights by their
+  # CURRENT state (state_at(time_s)), so the training render must carry
+  # the frame's clock or every light would render at its t=0 phase
+  snap = SimState(tick=jnp.round(take(frames.time_s) * 20.0)
+                  .astype(jnp.int32),
                   done=jnp.zeros((B,), bool), ego=ego, vehicles=veh,
                   walkers=wlk, expert=None, criteria=None, rng=rng)
 
@@ -361,12 +365,40 @@ def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,
     return transfuser_loss(cfg, tcfg, model, cast_params(trainable), batch,
                            speed_weights=speed_weights)
 
+  def micro_loss(trainable, fi, rng, maps_, scene_, frames_, wp_w):
+    """Loss on ONE rendered frame index (micro-batch = the episode axis)."""
+    return loss_fn(trainable, fi[None], rng, maps_, scene_, frames_, wp_w)
+
   @jax.jit
   def train_step(trainable, opt_state, f_idx, rng, maps_, scene_, frames_,
                  wp_w=1.0):
-    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        trainable, f_idx, rng, maps_, scene_, frames_, wp_w)
-    grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+    # Gradient accumulation over the frame indices: the full-spec model
+    # (regnety_032, 1024x256) OOMs beyond a 16-sample fwd/bwd on one v5e
+    # chip, so the effective batch (the reference's 64, config.py:171-173)
+    # is built as a lax.scan of micro-batch grads — peak memory stays at
+    # one micro-batch plus an f32 grad accumulator.
+    K = f_idx.shape[0]
+    rngs = jax.random.split(rng, K)
+    grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+
+    def micro(carry, x):
+      g_acc, loss_acc, aux_acc = carry
+      fi, r = x
+      (loss, aux), g = grad_fn(trainable, fi, r, maps_, scene_, frames_,
+                               wp_w)
+      g_acc = jax.tree.map(
+          lambda a, b: a + b.astype(jnp.float32) / K, g_acc, g)
+      aux_acc = jax.tree.map(lambda a, b: a + b / K, aux_acc, aux)
+      return (g_acc, loss_acc + loss / K, aux_acc), None
+
+    zero_g = jax.tree.map(
+        lambda p: jnp.zeros(p.shape, jnp.float32), trainable)
+    _, zero_aux = jax.eval_shape(
+        lambda: micro_loss(trainable, f_idx[0], rngs[0], maps_, scene_,
+                           frames_, wp_w))
+    zero_aux = jax.tree.map(lambda s: jnp.zeros((), jnp.float32), zero_aux)
+    (grads, _, aux), _ = jax.lax.scan(
+        micro, (zero_g, jnp.zeros(()), zero_aux), (f_idx, rngs))
     updates, opt_state = tx.update(grads, opt_state, trainable)
     trainable = optax.apply_updates(trainable, updates)
     return trainable, opt_state, aux
@@ -387,6 +419,23 @@ def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,
       aux["miou_bev_semantic"] = mean_iou(
           jnp.argmax(out["pred_bev_semantic"], -1),
           batch["bev_semantic_ds"], cfg.sensor.num_bev_semantic_classes)
+    # open-loop diagnosis heads (the offline metrics VERDICT r3 asked for
+    # before any new loss knob): speed-class confusion — brake recall is
+    # the missed-hazard knob — and the DIRECT controller's actual steering
+    # input, the angle of checkpoint[2], as MAE vs the expert label
+    out_f = jax.tree.map(lambda x: x.astype(jnp.float32), out)
+    sw = batch["sample_w"] > 0
+    pred_cls = jnp.argmax(out_f["pred_target_speed"], -1)
+    lab = batch["speed_label"]
+    aux["confusion"] = jnp.zeros((4, 4), jnp.int32).at[
+        lab, pred_cls].add(sw.astype(jnp.int32))
+    ang = lambda a: jnp.degrees(jnp.arctan2(a[..., 1], a[..., 0]))
+    d_ang = jnp.abs(geo.normalize_angle(
+        jnp.radians(ang(out_f["pred_checkpoint"][:, 2]) -
+                    ang(batch["ckpt_label"][:, 2]))))
+    aux["ckpt_angle_mae_deg"] = jnp.degrees(
+        jnp.sum(jnp.where(sw, d_ang, 0.0)) /
+        jnp.maximum(jnp.sum(sw), 1))
     return aux
 
   return train_step, eval_step, wp_valid
