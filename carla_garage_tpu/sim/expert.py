@@ -372,23 +372,43 @@ def expert_step(cfg: GlobalConfig, maps: MapStack, scene: Scene,
   light_hazard = jnp.any(affects, -1) & \
       jnp.take_along_axis(is_red, best[:, None], 1)[:, 0]
 
-  # --- stop signs (autopilot.py:1013-1070) ---
+  # --- stop signs (autopilot.py:1013-1070), aligned with the criterion's
+  # RunningStopTest targeting (sim/criteria.py 20 m own-lane lookahead):
+  # the old ego-box-contact gate braked only INSIDE the trigger volume, so
+  # an ego entering at speed came to its full stop past the box — the
+  # criterion's release then scored a violation the expert never saw
+  # (11 expert stop infractions across honest Longest6 r3). Now the expert
+  # targets exactly what the criterion targets and fully stops before or
+  # inside the box, which satisfies the machine at ANY tick while
+  # targeted. ---
   stops = scene.stops
   sdist = jnp.linalg.norm(stops.pos - ego.pos[:, None], axis=-1)
   sfacing = jnp.abs(geo.normalize_angle(
       stops.yaw - ego.yaw[:, None])) < 0.8
-  snear = stops.valid & (sdist < e.light_radius) & sfacing
-  st_ego = geo.obb_intersect(ego.pos[:, None], ego.yaw[:, None],
-                             ego_e[None, None],
-                             stops.pos, stops.yaw, stops.extent) & snear
-  st_sb = geo.obb_intersect(sb_c[:, None], sb_yaw[:, None], sb_e[None, None],
-                            stops.pos, stops.yaw, stops.extent) & snear
+  svalid = stops.valid & sfacing
+  fwd2 = jnp.stack([jnp.cos(ego.yaw), jnp.sin(ego.yaw)], -1)
+  t_look = jnp.linspace(0.0, 20.0, 11)
+  look = ego.pos[:, None] + t_look[None, :, None] * fwd2[:, None]  # [B,T,2]
+  rel_s = look[:, None] - stops.pos[:, :, None]                # [B,S,T,2]
+  cy_s, sy_s = jnp.cos(stops.yaw), jnp.sin(stops.yaw)
+  lx_s = rel_s[..., 0] * cy_s[..., None] + rel_s[..., 1] * sy_s[..., None]
+  ly_s = -rel_s[..., 0] * sy_s[..., None] + rel_s[..., 1] * cy_s[..., None]
+  inside_s = (jnp.abs(lx_s) <= stops.extent[..., 0:1]) & \
+      (jnp.abs(ly_s) <= stops.extent[..., 1:2])                # [B,S,T]
+  targeted = jnp.any(inside_s, -1) & svalid                    # [B,S]
+  hit_d = jnp.min(jnp.where(inside_s, t_look[None, None], jnp.inf), -1)
   uncleared = ~ex.cleared_stop_signs
-  moving = ego.speed > 1e-4
-  stop_sign_hazard = jnp.any(st_ego & uncleared, -1) & moving
-  newly_cleared = st_ego & uncleared & ~moving[:, None]
-  stop_sign_close = jnp.any((st_ego | (st_sb & ~st_ego)) & uncleared, -1)
-  cleared = (ex.cleared_stop_signs | newly_cleared) & snear
+  stopped_now = ego.speed < 0.05     # criterion threshold is 0.1 m/s
+  # full stop once the box is within 8 m (braking from the approach's
+  # 2 m/s walker speed takes < 1 m); approach at walker speed from 20 m
+  stop_sign_hazard = jnp.any(targeted & uncleared & (hit_d < 8.0), -1) \
+      & ~stopped_now
+  newly_cleared = targeted & uncleared & stopped_now[:, None]
+  stop_sign_close = jnp.any(targeted & uncleared, -1)
+  # keep the cleared latch while the sign stays nearby (facing-independent
+  # so a junction turn right after the stop does not re-arm it)
+  cleared = (ex.cleared_stop_signs | newly_cleared) & \
+      (stops.valid & (sdist < e.light_radius))
 
   brake = vehicle_hazard | light_hazard | walker_hazard | stop_sign_hazard
 

@@ -133,6 +133,26 @@ def traffic_step(cfg: GlobalConfig, lanes: LaneGraph, scene: Scene,
                                    axis=-1) < 5.0
   box_hold = near_end & (nxt >= 0) & exit_occupied
 
+  # --- frontal protection vs the EGO via rail lookahead: the straight
+  # corridor gap test above misses an ego that sits laterally offset
+  # (>2 m off the rail but boxes still overlapping) or around a CURVED
+  # connector arc — the r3 route-0 failure: NPCs rail-followed through a
+  # stopped ego at a junction, re-colliding after every dedup window
+  # (7 same-spot collisions). The C++ TrafficManager's collision stage
+  # always yields to a blocking actor regardless of geometry; here the
+  # NPC's own future box along its ACTUAL rail is tested against the ego
+  # box (10 m covers the stopping distance from rail speed 5 m/s). ---
+  look_d = jnp.array([0.0, 1.0, 2.5, 4.5, 7.0, 10.0])
+  lt_f = jnp.minimum(veh.lane_t[..., None] + look_d[None, None],
+                     total_here[..., None])                     # [B,V,D]
+  lid_f = jnp.broadcast_to(veh.lane_id[..., None], lt_f.shape)
+  pos_f, yaw_f = lanes.position_at(lid_f, lt_f)                 # [B,V,D,2]
+  ego_e = jnp.array([s.ego_extent_x, s.ego_extent_y])
+  ego_block = jnp.any(geo.obb_intersect(
+      pos_f, yaw_f, veh.extent[:, :, None],
+      state.ego.pos[:, None, None], state.ego.yaw[:, None, None],
+      ego_e[None, None, None]), -1) & veh.valid
+
   # --- IDM-style longitudinal control on the rail ---
   dead_ahead = (nxt < 0) & ((total_here - veh.lane_t) < 12.0)
   target_speed = jnp.where(dead_ahead, 2.0, NPC_TARGET_SPEED)
@@ -140,7 +160,7 @@ def traffic_step(cfg: GlobalConfig, lanes: LaneGraph, scene: Scene,
     target_speed = jnp.minimum(target_speed, effects["npc_speed_cap"])
   desired_gap = SAFE_MIN_GAP + veh.speed * SAFE_TIME_HEADWAY
   brake = (gap < desired_gap) | light_block | junction_yield | box_hold | \
-      (veh.speed > target_speed + 0.5)
+      ego_block | (veh.speed > target_speed + 0.5)
   if effects is not None:
     brake = brake | effects["npc_brake_override"]
   accel = jnp.where(brake, NPC_BRAKE,
