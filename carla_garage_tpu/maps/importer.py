@@ -68,10 +68,27 @@ _TOWN_CACHE: dict = {}
 
 def load_town(name: str, root: str = DEFAULT_ASSETS,
               rng_seed: int = 0) -> ImportedTown:
-  """Load one town's h5 raster + recover its lane graph / signalization."""
+  """Load one town's h5 raster + recover its lane graph / signalization.
+
+  Results are memoized in-process AND pickled to a disk cache: the
+  road-raster lane-graph recovery costs minutes per big town on one host
+  core, and every process (train script, benchmark runs, tests) would
+  otherwise pay it again."""
   key = (name, root, rng_seed)
   if key in _TOWN_CACHE:
     return _TOWN_CACHE[key]
+  import pickle
+  cache_dir = os.environ.get("CGT_TOWN_CACHE", "/tmp/cgt_town_cache")
+  os.makedirs(cache_dir, exist_ok=True)
+  disk = os.path.join(cache_dir, f"{name}_{rng_seed}.pkl")
+  if os.path.exists(disk):
+    try:
+      with open(disk, "rb") as f:
+        town = pickle.load(f)
+      _TOWN_CACHE[key] = town
+      return town
+    except Exception:
+      pass                       # stale/corrupt cache -> rebuild
   import h5py
   from carla_garage_tpu.maps import lane_graph as lg
   path = os.path.join(root, MAPS_DIR, f"{name}.h5")
@@ -174,6 +191,12 @@ def load_town(name: str, root: str = DEFAULT_ASSETS,
       lane_polys=lanes.lane_polys, lane_successors=lanes.lane_successors,
       lane_is_connector=lanes.is_connector)
   _TOWN_CACHE[key] = town
+  try:
+    with open(disk + ".tmp", "wb") as f:
+      pickle.dump(town, f)
+    os.replace(disk + ".tmp", disk)   # atomic: parallel procs see whole files
+  except Exception:
+    pass
   return town
 
 

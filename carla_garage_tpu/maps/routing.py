@@ -271,3 +271,62 @@ def downsample_route(points: np.ndarray, cmd: np.ndarray,
       dist = 0.0
   keep = np.asarray(sorted(set(keep)), np.int32)
   return points[keep], cmd[keep]
+
+
+def sample_lane_route(lane_polys, lane_successors,
+                      rng: np.random.Generator,
+                      min_len_m: float = 250.0, max_len_m: float = 500.0,
+                      is_connector=None, kp_spacing: float = 20.0):
+  """Random walk over a town's directed lane graph -> (xy [K,2], yaw [K]).
+
+  The real-town analog of sample_route_keypoints: where the reference
+  samples training routes from the OpenDRIVE graph via CARLA's
+  GlobalRoutePlanner (route_manipulation.py:132), here a route is a random
+  successor walk over the recovered lane graph (maps/lane_graph.py), so
+  datagen covers Town01-06's real geometry — junction turns included —
+  with keypoints dense enough (~20 m) that the route compiler tracks the
+  walked lanes faithfully. Returns None when no long-enough walk exists
+  from the sampled start (caller retries)."""
+  n = len(lane_polys)
+  if n == 0:
+    return None
+  poly = None
+  for _ in range(32):
+    li = int(rng.integers(0, n))
+    if is_connector is not None and len(is_connector) == n and \
+        bool(is_connector[li]):
+      continue                      # don't start mid-junction
+    p = np.asarray(lane_polys[li], np.float32)
+    if len(p) >= 2:
+      li0, poly = li, p
+      break
+  if poly is None:
+    return None
+  parts = [poly]
+  total = float(np.linalg.norm(np.diff(poly, axis=0), axis=-1).sum())
+  cur = li0
+  for _ in range(64):
+    if total >= max_len_m:
+      break
+    succ = lane_successors[cur]
+    if not succ:
+      break
+    cur = int(succ[rng.integers(0, len(succ))])
+    p = np.asarray(lane_polys[cur], np.float32)
+    if len(p) < 2:
+      break
+    parts.append(p)
+    total += float(np.linalg.norm(np.diff(p, axis=0), axis=-1).sum())
+    if total >= min_len_m and rng.random() < 0.2:
+      break                         # vary route length
+  if total < min_len_m:
+    return None
+  path = np.concatenate(parts)
+  seg = np.linalg.norm(np.diff(path, axis=0), axis=-1)
+  arc = np.concatenate([[0.0], np.cumsum(seg)])
+  t = np.append(np.arange(0.0, arc[-1], kp_spacing), arc[-1])
+  xy = np.stack([np.interp(t, arc, path[:, 0]),
+                 np.interp(t, arc, path[:, 1])], -1).astype(np.float32)
+  d = np.gradient(xy, axis=0)
+  yaw = np.arctan2(d[:, 1], d[:, 0]).astype(np.float32)
+  return xy, yaw

@@ -519,3 +519,82 @@ def make_synthetic_batch(cfg: GlobalConfig, batch: int = 4, seed: int = 0,
   maps, lanes, scene, state = build_batch(
       cfg, town, eps, seed=seed, n_vehicles=n_vehicles, n_walkers=n_walkers)
   return town, maps, lanes, scene, state
+
+
+_PAD_CACHE: dict = {}
+
+
+def _padded_town(town, pad_hw):
+  """Copy of `town` with its raster zero-padded (bottom/right) to pad_hw.
+
+  Padding keeps world_offset, so geometry is unchanged; a COMMON raster
+  shape across towns lets one jitted datagen/train program serve every
+  town (shape-polymorphism via padding, not recompilation). Cached so the
+  route compiler's per-raster snap indices are built once per town."""
+  key = (id(town.raster), pad_hw)
+  if key in _PAD_CACHE:
+    return _PAD_CACHE[key]
+  C, H, W = town.raster.shape
+  Ht, Wt = pad_hw
+  assert Ht >= H and Wt >= W, f"pad_hw {pad_hw} smaller than raster {(H, W)}"
+  if (H, W) == (Ht, Wt):
+    padded = town
+  else:
+    r = np.zeros((C, Ht, Wt), town.raster.dtype)
+    r[:, :H, :W] = town.raster
+    padded = dataclasses.replace(town, raster=r)
+  _PAD_CACHE[key] = padded
+  return padded
+
+
+def make_town_batch(cfg: GlobalConfig, town_name: str, batch: int = 4,
+                    seed: int = 0, n_vehicles: int = 8, n_walkers: int = 2,
+                    min_route_m: float = 250.0, max_route_m: float = 500.0,
+                    pad_hw: tuple | None = None, assets_root: str = None):
+  """Real-town analog of make_synthetic_batch: random lane-graph routes on
+  an imported CARLA town (Town01-06) — the datagen diversity the reference
+  gets from generate_dataset_slurm's per-town route files. town_name
+  'synth' (or 'synth<N>' for a seeded variant) builds the procedural town
+  instead, so one mixed recipe covers both."""
+  from carla_garage_tpu.maps import importer
+  from carla_garage_tpu.maps.synthetic import make_town
+  rng = np.random.default_rng(seed)
+  if town_name.startswith("synth"):
+    t_seed = int(town_name[5:]) if town_name[5:].isdigit() else seed
+    town = make_town(seed=t_seed)
+    is_conn = None
+  else:
+    imported = importer.load_town(
+        town_name, assets_root or importer.DEFAULT_ASSETS)
+    town = importer.as_synthetic_town(imported)
+    is_conn = imported.lane_is_connector
+  if pad_hw is not None:
+    town = _padded_town(town, pad_hw)
+  eps = []
+  for _ in range(batch):
+    ep = None
+    for _retry in range(64):
+      res = routing.sample_lane_route(
+          town.lane_polys, town.lane_successors, rng,
+          min_len_m=min_route_m, max_len_m=max_route_m,
+          is_connector=is_conn)
+      if res is None:
+        continue
+      ep = compile_route(town, res[0], res[1])
+      if ep.length_m >= 0.8 * min_route_m:
+        break
+    if ep is None:
+      raise RuntimeError(f"no routable lanes in {town_name}")
+    eps.append(ep)
+  maps, lanes, scene, state = build_batch(
+      cfg, town, eps, seed=seed, n_vehicles=n_vehicles,
+      n_walkers=n_walkers)
+  # device-side raster/lane-graph dedup: every dataset shard on the same
+  # town reuses ONE HBM allocation (a padded Town06 stack is ~220 MB —
+  # without this, 12 shards would hold 12 copies)
+  key = ("devcache", town_name, pad_hw)
+  if key in _PAD_CACHE:
+    maps, lanes = _PAD_CACHE[key]
+  else:
+    _PAD_CACHE[key] = (maps, lanes)
+  return town, maps, lanes, scene, state

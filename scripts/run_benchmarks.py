@@ -56,9 +56,10 @@ def main():
   ap.add_argument("--suffix", default=None)
   ap.add_argument("--analysis-dir", default=None)
   ap.add_argument("--agent", default="expert",
-                  choices=["expert", "transfuser"],
+                  choices=["expert", "transfuser", "plant"],
                   help="expert = privileged autopilot; transfuser = a "
-                       "trained sensor-fusion checkpoint (--checkpoint)")
+                       "trained sensor-fusion checkpoint (--checkpoint); "
+                       "plant = a trained object-level PlanT checkpoint")
   ap.add_argument("--checkpoint", default=None,
                   help="orbax checkpoint dir from train_transfuser.py")
   ap.add_argument("--uncertainty-threshold", type=float, default=0.33,
@@ -79,6 +80,34 @@ def main():
 
   # learned-agent setup: build the sensor policy from a trained checkpoint
   policy, policy_params, agent_reset = None, None, None
+  if args.agent == "plant":
+    if not args.checkpoint:
+      ap.error("--agent plant requires --checkpoint")
+    import jax
+    import numpy as _np
+    from carla_garage_tpu.agents.plant_agent import (make_plant_policy,
+                                                     plant_agent_reset)
+    from carla_garage_tpu.models.plant import PlanT, PlanTConfig
+    from carla_garage_tpu.utils.checkpoint import load_checkpoint
+    _, meta0 = load_checkpoint(args.checkpoint, meta_only=True)
+    pcfg = PlanTConfig(**meta0["config"]) if meta0.get("config") \
+        else PlanTConfig()
+    model = PlanT(pcfg)
+    B0 = 2
+    import jax.numpy as jnp
+    tpl = jax.eval_shape(
+        model.init, jax.random.key(0),
+        jnp.zeros((B0, pcfg.max_objects, pcfg.num_attributes)),
+        jnp.zeros((B0, pcfg.max_objects), jnp.int32),
+        jnp.zeros((B0, pcfg.num_route_points, 2)),
+        jnp.zeros((B0,)), jnp.zeros((B0,)), jnp.zeros((B0,), bool),
+        jnp.zeros((B0,)))
+    tpl = jax.tree.map(lambda s: _np.zeros(s.shape, s.dtype), tpl)
+    policy_params, _ = load_checkpoint(args.checkpoint, tpl)
+    policy = make_plant_policy(
+        model, None, pcfg, direct=True,
+        brake_threshold=args.uncertainty_threshold)
+    agent_reset = lambda cfg_, B: plant_agent_reset(cfg_, B)
   if args.agent == "transfuser":
     if not args.checkpoint:
       ap.error("--agent transfuser requires --checkpoint")

@@ -47,7 +47,8 @@ from carla_garage_tpu.sensors.camera import camera_ray_grid
 from carla_garage_tpu.sensors.lidar import full_lidar_grid, lidar_ray_grid
 from carla_garage_tpu.sim.datagen import collect_expert_frames, waypoint_labels
 from carla_garage_tpu.sim.episode import rollout_chunked
-from carla_garage_tpu.sim.scene_builder import make_synthetic_batch
+from carla_garage_tpu.sim.scene_builder import (make_synthetic_batch,
+                                                make_town_batch)
 from carla_garage_tpu.sim.scoring import compute_scores
 from carla_garage_tpu.train.transfuser_train import (
     make_transfuser_train_step, train_transfuser)
@@ -66,14 +67,23 @@ def model_config(args) -> TransfuserConfig:
   return TransfuserConfig()
 
 
-def build_dataset(args, seed: int, collect=None):
+def build_dataset(args, seed: int, collect=None, town_name: str = "synth",
+                  pad_hw=None):
   """One expert-datagen shard: scene batch + frames, with the quality gate
-  (imperfect episodes -> alive=False everywhere -> loss weight 0)."""
+  (imperfect episodes -> alive=False everywhere -> loss weight 0).
+
+  town_name selects the world: 'synth'/'synthN' = procedural grid town,
+  'Town01'..'Town06' = the imported real benchmark towns (random
+  lane-graph routes — the reference's route diversity,
+  generate_dataset_slurm.py per-town route files). pad_hw pads every
+  town's raster to one common shape so a single compiled datagen/train
+  program serves all of them."""
   rng = np.random.default_rng(seed)
   n_veh = int(rng.integers(args.min_vehicles, args.max_vehicles + 1))
-  town, maps, lanes, scene, state = make_synthetic_batch(
-      CFG, batch=args.episodes, seed=seed, n_vehicles=n_veh,
-      n_walkers=2)
+  town, maps, lanes, scene, state = make_town_batch(
+      CFG, town_name, batch=args.episodes, seed=seed, n_vehicles=n_veh,
+      n_walkers=2, pad_hw=pad_hw, min_route_m=args.min_route_m,
+      max_route_m=args.max_route_m)
   # chunked datagen: ONE compiled fixed-length collect reused across
   # chunks and datasets (long-scan programs stall the remote XLA compiler;
   # chunk length keeps compile time flat — rollout_chunked's recipe)
@@ -108,17 +118,22 @@ def build_dataset(args, seed: int, collect=None):
   sl = np.asarray(target_speed_labels(frames, CFG, brake_lookahead=2))
   alive = np.asarray(frames.alive) & np.asarray(wp_valid)
   brake_rows = ((sl == 0) & alive).any(-1)
+  # held-out tail (~10% of frames) for the offline diagnosis — the
+  # sampler never draws it
+  n_hold = max(len(usable) // 10, 1)
+  holdout = usable[len(usable) - n_hold:]
+  usable = usable[:len(usable) - n_hold]
   usable_brake = np.asarray(
       [i for i in usable if brake_rows[i]], np.int64)
   counts = np.bincount(sl[alive].ravel(), minlength=4).astype(np.float64)
   return dict(maps=maps, lanes=lanes, scene=scene, frames=frames,
-              usable=usable, usable_brake=usable_brake,
+              usable=usable, usable_brake=usable_brake, holdout=holdout,
               speed_counts=counts, n_clean=int(clean.sum()),
-              collect=collect)
+              collect=collect, town=town_name)
 
 
 def build_dagger_dataset(args, tcfg, model, params, cam_grid, lid_f, lid_r,
-                         seed: int):
+                         seed: int, town_name: str = "synth", pad_hw=None):
   """On-policy corrective data (DAgger): the CURRENT model drives fresh
   scenes while the expert's carry state rides along and labels every
   visited state (collect_dagger_frames). No quality gate — mistake states
@@ -126,8 +141,10 @@ def build_dagger_dataset(args, tcfg, model, params, cam_grid, lid_f, lid_r,
   from carla_garage_tpu.sim.datagen import collect_dagger_frames
   rng_np = np.random.default_rng(seed)
   n_veh = int(rng_np.integers(args.min_vehicles, args.max_vehicles + 1))
-  town, maps, lanes, scene, state = make_synthetic_batch(
-      CFG, batch=args.episodes, seed=seed, n_vehicles=n_veh, n_walkers=2)
+  town, maps, lanes, scene, state = make_town_batch(
+      CFG, town_name, batch=args.episodes, seed=seed, n_vehicles=n_veh,
+      n_walkers=2, pad_hw=pad_hw, min_route_m=args.min_route_m,
+      max_route_m=args.max_route_m)
   n_lidar = lid_f.shape[0] * lid_f.shape[1]
   policy = make_transfuser_policy(model, None, tcfg, cam_grid, lid_f, lid_r,
                                   direct=True, bf16=True,
@@ -148,11 +165,14 @@ def build_dagger_dataset(args, tcfg, model, params, cam_grid, lid_f, lid_r,
 
 def closed_loop_eval(args, tcfg, model, params, cam_grid, lid_f, lid_r,
                      n_routes: int, seed: int, max_ticks: int = 6000,
-                     brake_threshold: float = 0.33):
+                     brake_threshold: float = 0.33,
+                     town_name: str = "synth", pad_hw=None):
   """brake_threshold=0.33 is the reference's published Longest6 operating
-  point (UNCERTAINTY_THRESHOLD=0.33, README.md:82-84)."""
-  town, maps, lanes, scene, state = make_synthetic_batch(
-      CFG, batch=n_routes, seed=seed, n_vehicles=8, n_walkers=2)
+  point (UNCERTAINTY_THRESHOLD=0.33, README.md:82-84). town_name picks the
+  eval world (real imported towns included)."""
+  town, maps, lanes, scene, state = make_town_batch(
+      CFG, town_name, batch=n_routes, seed=seed, n_vehicles=8, n_walkers=2,
+      pad_hw=pad_hw)
   route_lens = jnp.asarray([
       float(np.asarray(scene.route.seg_len)[i][
           :int(np.asarray(scene.route.num_valid)[i])].sum())
@@ -180,13 +200,89 @@ def closed_loop_eval(args, tcfg, model, params, cam_grid, lid_f, lid_r,
               blocked=m(cr.blocked))
 
 
+def eval_suite(args, tcfg, model, params, cam_grid, lid_f, lid_r,
+               towns, seeds, n_routes, pad_hw=None,
+               brake_threshold: float = 0.33):
+  """Mean/std DS over (town x seed) closed-loop batches.
+
+  Checkpoint selection and the DS floor key off the MEAN of several
+  independent rollout batches, not one noisy 8-route scalar (round-3
+  weakness: single-seed evals swung PlanT DS 30<->89)."""
+  rows = []
+  for t in towns:
+    for s in seeds:
+      ev = closed_loop_eval(args, tcfg, model, params, cam_grid, lid_f,
+                            lid_r, n_routes, seed=s, town_name=t,
+                            pad_hw=pad_hw, brake_threshold=brake_threshold)
+      ev["town"], ev["seed"] = t, s
+      rows.append(ev)
+  ds = np.array([r["DS"] for r in rows])
+  agg = {k: float(np.mean([r[k] for r in rows]))
+         for k in rows[0] if isinstance(rows[0][k], float)}
+  agg.update(DS=float(ds.mean()), DS_std=float(ds.std()), rows=rows)
+  return agg
+
+
+def offline_diagnosis(tcfg, model, params, eval_fn, datasets, np_rng,
+                      n_batches: int = 8, bf16: bool = True):
+  """Open-loop per-head metrics on held-out frames — the diagnosis loop
+  round 3 lacked (VERDICT: 'nobody looked at what the model predicts').
+
+  Reports checkpoint-angle MAE vs the expert (the DIRECT controller's
+  steering input), speed-class confusion (brake recall is the
+  closed-loop-collision knob), and aux-head mIoU, using the train step's
+  own eval_fn on frames the sampler never drew."""
+  import jax.numpy as jnp
+  sums, n = {}, 0
+  conf = np.zeros((4, 4), np.int64)
+  for b in range(n_batches):
+    ds = datasets[b % len(datasets)]
+    pool = ds.get("holdout")
+    if pool is None or not len(pool):
+      continue
+    f_idx = jnp.asarray(np_rng.choice(pool, size=1), jnp.int32)
+    rng = jax.random.key(10_000 + b)
+    aux = eval_fn(params, f_idx, rng, ds["maps"], ds["scene"],
+                  ds["frames"])
+    for k, v in aux.items():
+      if hasattr(v, "ndim") and v.ndim == 0:
+        sums[k] = sums.get(k, 0.0) + float(v)
+    if "confusion" in aux:
+      conf += np.asarray(aux["confusion"], np.int64)
+    n += 1
+  out = {k: v / max(n, 1) for k, v in sums.items()
+         if k not in ("confusion",)}
+  recall = conf.diagonal() / np.maximum(conf.sum(1), 1)
+  out["speed_class_recall"] = [round(float(r), 3) for r in recall]
+  out["speed_class_confusion"] = conf.tolist()
+  return out
+
+
 def main():
   ap = argparse.ArgumentParser()
   ap.add_argument("--steps", type=int, default=20000)
   ap.add_argument("--datasets", type=int, default=4)
   ap.add_argument("--episodes", type=int, default=16)
   ap.add_argument("--frames", type=int, default=240)
-  ap.add_argument("--frames-per-step", type=int, default=2)
+  ap.add_argument("--frames-per-step", type=int, default=4,
+                  help="gradient-accumulated micro-batches per step; "
+                       "effective batch = episodes * this (the reference "
+                       "trains at 64, config.py:171-173)")
+  ap.add_argument("--towns", nargs="+",
+                  default=["Town01", "Town02", "Town03", "Town04",
+                           "Town05", "Town06", "synth", "synth1"],
+                  help="datagen worlds, cycled across --datasets shards: "
+                       "imported real benchmark towns and/or procedural "
+                       "'synth'/'synthN' grids")
+  ap.add_argument("--eval-towns", nargs="+", default=["Town03", "Town05"],
+                  help="closed-loop eval worlds (held-out seeds)")
+  ap.add_argument("--final-eval-seeds", type=int, default=3,
+                  help="eval batches per town for the FINAL multi-seed "
+                       "eval (error bars; round-3 Weak #2)")
+  ap.add_argument("--min-route-m", type=float, default=250.0,
+                  help="datagen route length bounds; match to --frames "
+                       "(a 500-frame episode covers ~125 s of driving)")
+  ap.add_argument("--max-route-m", type=float, default=500.0)
   ap.add_argument("--min-vehicles", type=int, default=6)
   ap.add_argument("--max-vehicles", type=int, default=16)
   ap.add_argument("--lr", type=float, default=3e-4)
@@ -222,22 +318,43 @@ def main():
   lid_front = lidar_ray_grid(CFG, half=0, decimate=lid_dec)
   lid_rear = lidar_ray_grid(CFG, half=1, decimate=lid_dec)
 
-  # ---- multi-seed datagen ----
+  # ---- multi-town multi-seed datagen ----
+  # one common padded raster shape across every train/eval world -> ONE
+  # compiled datagen + train-step program serves all towns
+  def town_hw(name):
+    if name.startswith("synth"):
+      return (1680, 1680)
+    import h5py
+    from carla_garage_tpu.maps import importer
+    with h5py.File(os.path.join(importer.DEFAULT_ASSETS, importer.MAPS_DIR,
+                                f"{name}.h5")) as f:
+      return tuple(f["road"].shape)
+  all_towns = list(args.towns) + list(args.eval_towns)
+  pad_hw = (max(town_hw(t)[0] for t in all_towns),
+            max(town_hw(t)[1] for t in all_towns))
+  print(f"common raster shape {pad_hw} over {sorted(set(all_towns))}",
+        flush=True)
   t0 = time.time()
   datasets = []
   collect = None
   for d in range(args.datasets):
-    ds = build_dataset(args, seed=1000 * d + 17, collect=collect)
+    town_name = args.towns[d % len(args.towns)]
+    ds = build_dataset(args, seed=1000 * d + 17, collect=collect,
+                       town_name=town_name, pad_hw=pad_hw)
     collect = ds["collect"]
     datasets.append(ds)
-    print(f"dataset {d}: {args.episodes}x{args.frames} frames, "
-          f"{ds['n_clean']}/{args.episodes} clean episodes, "
+    print(f"dataset {d} [{town_name}]: {args.episodes}x{args.frames} "
+          f"frames, {ds['n_clean']}/{args.episodes} clean episodes, "
           f"{len(ds['usable'])} usable frames "
-          f"({len(ds['usable_brake'])} brake-bearing)", flush=True)
+          f"({len(ds['usable_brake'])} brake-bearing, "
+          f"{len(ds['holdout'])} held out)", flush=True)
   print(f"datagen: {time.time()-t0:.0f}s total", flush=True)
   # inverse-frequency speed-class weights over the aggregate distribution
   counts = np.maximum(sum(ds["speed_counts"] for ds in datasets), 1.0)
-  speed_weights = tuple((counts.sum() / (4.0 * counts)).tolist())
+  # clip so a near-empty class can't blow up the CE scale (a count of 1
+  # in a small shard would weight its class ~200x)
+  speed_weights = tuple(np.clip(counts.sum() / (4.0 * counts),
+                                0.05, 20.0).tolist())
   print(f"speed-class counts {counts.astype(int).tolist()} -> "
         f"weights {[round(w, 3) for w in speed_weights]}", flush=True)
 
@@ -300,9 +417,12 @@ def main():
       print(f"step {i}: loss {h['loss']:.3f} "
             f"({h['wall_s']:.0f}s)", flush=True)
     if args.eval_every and (i + 1) % args.eval_every == 0:
-      ev = closed_loop_eval(args, tcfg, model, params, cam_grid, lid_front,
-                            lid_rear, args.eval_routes, seed=321,
-                            brake_threshold=args.eval_brake_threshold)
+      ev = eval_suite(args, tcfg, model, params, cam_grid, lid_front,
+                      lid_rear, args.eval_towns, [321], args.eval_routes,
+                      pad_hw=pad_hw,
+                      brake_threshold=args.eval_brake_threshold)
+      ev["diagnosis"] = offline_diagnosis(tcfg, model, params, eval_fn,
+                                          datasets, np_rng)
       ev["step"] = i + 1
       evals.append(ev)
       print(f"eval @{i+1}: {ev}", flush=True)
@@ -317,10 +437,12 @@ def main():
   # them (wp loss off — the recorded trajectory is the policy's own),
   # interleaved 1:1 with expert replay so BC supervision doesn't erode ----
   for r in range(args.dagger_rounds):
+    dag_town = args.towns[(r * 3 + 1) % len(args.towns)]
     dset = build_dagger_dataset(args, tcfg, model, params, cam_grid,
-                                lid_front, lid_rear, seed=5000 + 97 * r)
-    print(f"dagger round {r}: {len(dset['usable'])} usable frame rows",
-          flush=True)
+                                lid_front, lid_rear, seed=5000 + 97 * r,
+                                town_name=dag_town, pad_hw=pad_hw)
+    print(f"dagger round {r} [{dag_town}]: {len(dset['usable'])} usable "
+          f"frame rows", flush=True)
     for i in range(args.dagger_steps):
       on_policy = (i % 2 == 0)
       ds = dset if on_policy else datasets[(i // 2) % len(datasets)]
@@ -336,9 +458,12 @@ def main():
       if i % max(args.dagger_steps // 8, 1) == 0:
         print(f"dagger {r} step {i}: loss {float(aux['loss']):.3f}",
               flush=True)
-    ev = closed_loop_eval(args, tcfg, model, params, cam_grid, lid_front,
-                          lid_rear, args.eval_routes, seed=321,
-                          brake_threshold=args.eval_brake_threshold)
+    ev = eval_suite(args, tcfg, model, params, cam_grid, lid_front,
+                    lid_rear, args.eval_towns, [321], args.eval_routes,
+                    pad_hw=pad_hw,
+                    brake_threshold=args.eval_brake_threshold)
+    ev["diagnosis"] = offline_diagnosis(tcfg, model, params, eval_fn,
+                                        datasets, np_rng)
     ev["step"] = args.steps + (r + 1) * args.dagger_steps
     ev["dagger_round"] = r
     evals.append(ev)
@@ -357,15 +482,18 @@ def main():
                         "config": dataclasses.asdict(tcfg),
                         "best_eval": best})
 
-  # ---- final closed-loop eval (held-out seed) ----
-  final_ev = closed_loop_eval(args, tcfg, model, best_params, cam_grid,
-                              lid_front, lid_rear, args.eval_routes,
-                              seed=4321,
-                              brake_threshold=args.eval_brake_threshold)
+  # ---- final closed-loop eval: multi-seed, held-out seeds + towns ----
+  final_ev = eval_suite(args, tcfg, model, best_params, cam_grid,
+                        lid_front, lid_rear, args.eval_towns,
+                        [4321 + 11 * k for k in range(args.final_eval_seeds)],
+                        args.eval_routes, pad_hw=pad_hw,
+                        brake_threshold=args.eval_brake_threshold)
   out = {
       "transfuser_DS": final_ev["DS"],
+      "transfuser_DS_std": final_ev["DS_std"],
       "transfuser_RC": final_ev["RC"],
       "transfuser_IS": final_ev["IS"],
+      "final_eval": final_ev,
       "best_train_eval": best,
       "evals": evals,
       "steps": args.steps,
@@ -375,6 +503,8 @@ def main():
           "cam_scale": cam_scale, "lidar_decimate": lid_dec,
           "bf16": not args.no_bf16, "lr": args.lr,
           "datasets": args.datasets, "episodes": args.episodes,
+          "towns": args.towns, "eval_towns": args.eval_towns,
+          "effective_batch": args.episodes * args.frames_per_step,
           "cmdline": " ".join(sys.argv),
       },
   }
