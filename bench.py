@@ -93,15 +93,20 @@ def measure_sensor_on(full_spec: bool):
   params = jax.jit(model.init)(jax.random.key(0), rgb, lidar,
                                jnp.zeros((B, 2)), jnp.zeros((B, 6)),
                                jnp.zeros((B,)))
+  # honest traffic density (the headline benchmark runs 100 town-wide
+  # NPCs/episode; r3's bench used 8, underselling the render load — box
+  # culling now bounds the per-ray cost at any density)
+  import dataclasses
+  cfg_b = CFG.replace(sim=dataclasses.replace(CFG.sim, max_vehicles=100))
   town, maps, lanes, scene, state = make_synthetic_batch(
-      CFG, batch=B, seed=0, n_vehicles=8, n_walkers=2)
+      cfg_b, batch=B, seed=0, n_vehicles=100, n_walkers=2)
   n_lidar = lid_f.shape[0] * lid_f.shape[1]
-  state = state.replace(agent=sensor_agent_reset(CFG, B, n_lidar))
+  state = state.replace(agent=sensor_agent_reset(cfg_b, B, n_lidar))
   policy = make_transfuser_policy(model, None, tcfg, cam_grid,
                                   lid_f, lid_r, direct=True, bf16=True)
   # params as jit ARGS — weight constants would stall the remote compile
   run = jax.jit(lambda mp, ln, sc, st, pp: rollout(
-      CFG, mp, ln, sc, st, ticks, policy=policy, policy_params=pp))
+      cfg_b, mp, ln, sc, st, ticks, policy=policy, policy_params=pp))
   s = run(maps, lanes, scene, state, params)
   _ = int(jnp.sum(s.tick))
   t0 = time.perf_counter()
@@ -113,7 +118,118 @@ def measure_sensor_on(full_spec: bool):
   return B * ticks * n_rounds / dt
 
 
+def profile_sensor_stages(full_spec: bool):
+  """Where the sensor-on milliseconds live (round-2/3 task: 'a profile
+  showing where the remaining ms are'): times each stage of the sensor
+  step in isolation — camera raycast, LiDAR raycast (both halves),
+  voxelize, model forward, everything-else — at the same batch/config as
+  measure_sensor_on. Returns a dict of ms per B-batch step."""
+  import dataclasses
+  from carla_garage_tpu.agents.sensor_agent import (make_transfuser_policy,
+                                                    sensor_agent_reset)
+  from carla_garage_tpu.models.transfuser import (LidarCenterNet,
+                                                  TransfuserConfig)
+  from carla_garage_tpu.sensors.camera import camera_ray_grid, render_camera
+  from carla_garage_tpu.sensors.lidar import lidar_ray_grid, render_lidar
+  from carla_garage_tpu.sensors.voxelize import voxelize_matmul
+
+  if full_spec:
+    cam_scale, lid_dec, B = 1, 1, 16
+    tcfg = TransfuserConfig()
+  else:
+    cam_scale, lid_dec, B = 4, 4, 64
+    tcfg = TransfuserConfig(
+        image_arch="regnety_micro", lidar_arch="regnety_micro",
+        img_h=256 // cam_scale, img_w=1024 // cam_scale,
+        lidar_h=256, lidar_w=256,
+        img_anchors=(2, 8), lidar_anchors=(8, 8),
+        n_embd=128, d_model=128, n_decoder_layers=3)
+  cfg_b = CFG.replace(sim=dataclasses.replace(CFG.sim, max_vehicles=100))
+  cam_grid = camera_ray_grid(cfg_b, scale=cam_scale)
+  lid_f = lidar_ray_grid(cfg_b, half=0, decimate=lid_dec)
+  lid_r = lidar_ray_grid(cfg_b, half=1, decimate=lid_dec)
+  model = LidarCenterNet(tcfg)
+  params = jax.jit(model.init)(
+      jax.random.key(0), jnp.zeros((B, tcfg.img_h, tcfg.img_w, 3)),
+      jnp.zeros((B, tcfg.lidar_h, tcfg.lidar_w, tcfg.lidar_channels)),
+      jnp.zeros((B, 2)), jnp.zeros((B, 6)), jnp.zeros((B,)))
+  town, maps, lanes, scene, state = make_synthetic_batch(
+      cfg_b, batch=B, seed=0, n_vehicles=100, n_walkers=2)
+  n_lidar = lid_f.shape[0] * lid_f.shape[1]
+  state = state.replace(agent=sensor_agent_reset(cfg_b, B, n_lidar))
+  policy = make_transfuser_policy(model, None, tcfg, cam_grid, lid_f,
+                                  lid_r, direct=True, bf16=True)
+  key = jax.random.key(1)
+
+  def cast16(t):
+    return jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                        if hasattr(x, "dtype") and x.dtype == jnp.float32
+                        else x, t)
+
+  stages = {
+      "camera": jax.jit(lambda mp, sc, st: render_camera(
+          cfg_b, mp, sc, st, cam_grid)["rgb"]),
+      "lidar_2halves": jax.jit(lambda mp, sc, st: (
+          render_lidar(cfg_b, mp, sc, st, lid_f, key)[0] +
+          render_lidar(cfg_b, mp, sc, st, lid_r, key)[0])),
+      "voxelize": None,          # filled below (needs points)
+      "model_fwd_bf16": None,
+      "object_sim_step": jax.jit(lambda mp, ln, sc, st: rollout(
+          cfg_b, mp, ln, sc, st, 1)),
+      "full_policy_step": jax.jit(lambda mp, ln, sc, st, pp: rollout(
+          cfg_b, mp, ln, sc, st, 1, policy=policy, policy_params=pp)),
+  }
+  pts, val = jax.jit(lambda mp, sc, st: render_lidar(
+      cfg_b, mp, sc, st, lid_f, key))(maps, scene, state)
+  pts2 = jnp.concatenate([pts, pts], 1)
+  val2 = jnp.concatenate([val, val], 1)
+  stages["voxelize"] = jax.jit(lambda p, v: jax.vmap(
+      lambda a, b: voxelize_matmul(a, b, cfg_b))(p, v))
+  rgb0 = jnp.zeros((B, tcfg.img_h, tcfg.img_w, 3), jnp.bfloat16)
+  lid0 = jnp.zeros((B, tcfg.lidar_h, tcfg.lidar_w, tcfg.lidar_channels),
+                   jnp.bfloat16)
+  p16 = cast16(params)
+  stages["model_fwd_bf16"] = jax.jit(lambda pp: model.apply(
+      pp, rgb0, lid0, jnp.zeros((B, 2), jnp.bfloat16),
+      jnp.zeros((B, 6), jnp.bfloat16), jnp.zeros((B,), jnp.bfloat16)))
+
+  args_for = {
+      "camera": (maps, scene, state),
+      "lidar_2halves": (maps, scene, state),
+      "voxelize": (pts2, val2),
+      "model_fwd_bf16": (p16,),
+      "object_sim_step": (maps, lanes, scene, state),
+      "full_policy_step": (maps, lanes, scene, state, params),
+  }
+  out = {}
+  for name, fn in stages.items():
+    a = args_for[name]
+    r = fn(*a)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    n = 10
+    for _ in range(n):
+      r = fn(*a)
+    jax.block_until_ready(r)
+    out[name] = round((time.perf_counter() - t0) / n * 1000.0, 3)
+  out["B"] = B
+  out["config"] = "full" if full_spec else "reduced"
+  accounted = out["camera"] + out["lidar_2halves"] + out["voxelize"] + \
+      out["model_fwd_bf16"] + out["object_sim_step"]
+  out["other_ms"] = round(out["full_policy_step"] - accounted, 3)
+  return out
+
+
 def main():
+  if "--profile" in sys.argv:
+    prof = {k: profile_sensor_stages(full) for k, full in
+            (("reduced", False), ("full", True))}
+    import os
+    os.makedirs("results", exist_ok=True)
+    with open("results/profile_sensor_on.json", "w") as f:
+      json.dump(prof, f, indent=1)
+    print(json.dumps(prof, indent=1))
+    return
   payload = {"metric": "batched_env_steps_per_sec_per_chip"}
   obj_rate = measure_object_level()
   for key, full in (("sensor_on_reduced", False), ("sensor_on_full", True)):

@@ -8,9 +8,12 @@ model forward -> PID control, plus the stuck/creep recovery logic
 jitted env step, so a full benchmark of sensor-driven episodes is one XLA
 program.
 
-Differences: ensemble averaging and jpg-artifact emulation are not needed
-(policies are trained inside this simulator); the creep safety check uses
-the object-level safety box rather than LiDAR points-in-box (same role).
+Parity features: ensemble averaging (params may be a list of weight
+pytrees, averaged like sensor_agent.py:114-131/:487-495), jpg-artifact
+emulation (jpeg_quality wires ops/jpeg.py for jpg-trained checkpoints,
+:277-279), temporal LiDAR buffering (seq_len > 1), the MAP-track variant
+(map_track=True), the detected-stop-sign controller (stop_control=True)
+and the LiDAR-safety-box creep recovery (:561-599).
 """
 
 from __future__ import annotations
