@@ -1,0 +1,161 @@
+"""Round-4 feature tests: lane-graph route sampling on real towns,
+light-state rendering, sensor box culling, and the expert/criterion
+stop-sign alignment (closed loop)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from carla_garage_tpu.config import DEFAULT_CONFIG as CFG
+from carla_garage_tpu.maps import importer, routing
+from carla_garage_tpu.sensors.camera import PALETTE, render_camera, \
+    camera_ray_grid
+from carla_garage_tpu.sensors.raycast import (Sem, _gather_boxes, cull_boxes,
+                                              light_render_class)
+from carla_garage_tpu.sim.episode import rollout
+from carla_garage_tpu.sim.scene_builder import (make_synthetic_batch,
+                                                make_town_batch)
+from carla_garage_tpu.structs import LightState
+
+
+def test_sample_lane_route_town02():
+  if not importer.assets_available():
+    import pytest
+    pytest.skip("reference assets not mounted")
+  town = importer.load_town("Town02")
+  rng = np.random.default_rng(7)
+  got = 0
+  for _ in range(8):
+    res = routing.sample_lane_route(
+        town.lane_polys, town.lane_successors, rng,
+        min_len_m=200.0, max_len_m=400.0,
+        is_connector=town.lane_is_connector)
+    if res is None:
+      continue
+    xy, yaw = res
+    got += 1
+    seg = np.linalg.norm(np.diff(xy, axis=0), axis=-1)
+    assert seg.sum() >= 180.0          # walked at least ~min length
+    assert np.all(seg < 30.0)          # keypoints ~20 m apart
+    # yaw matches local direction
+    d = np.diff(xy, axis=0)
+    y_seg = np.arctan2(d[:, 1], d[:, 0])
+    dy = np.abs(np.arctan2(np.sin(y_seg - yaw[:-1]),
+                           np.cos(y_seg - yaw[:-1])))
+    assert np.median(dy) < 0.5
+  assert got >= 4
+
+
+def test_make_town_batch_padded_shape():
+  if not importer.assets_available():
+    import pytest
+    pytest.skip("reference assets not mounted")
+  town, maps, lanes, scene, state = make_town_batch(
+      CFG, "Town02", batch=2, seed=11, n_vehicles=4, n_walkers=1,
+      pad_hw=(2000, 2000))
+  assert maps.layers.shape[-2:] == (2000, 2000)
+  # routes compiled and non-degenerate
+  lens = [float(np.asarray(scene.route.seg_len)[i].sum()) for i in range(2)]
+  assert all(l > 150.0 for l in lens)
+  # device-side raster dedup: same town+pad -> same maps object
+  _, maps2, lanes2, _, _ = make_town_batch(
+      CFG, "Town02", batch=2, seed=12, n_vehicles=4, n_walkers=1,
+      pad_hw=(2000, 2000))
+  assert maps2 is maps and lanes2 is lanes
+
+
+def test_light_state_render_classes():
+  """The RGB must differ between red and green phases of the same light;
+  the 7-class semantic output must not."""
+  town, maps, lanes, scene, state = make_synthetic_batch(
+      CFG, batch=1, seed=3, n_vehicles=0, n_walkers=0)
+  lv = np.asarray(scene.lights.valid[0])
+  li = int(np.nonzero(lv)[0][0])
+  lp = np.asarray(scene.lights.pos[0])[li]
+  lyaw = float(np.asarray(scene.lights.yaw[0])[li])
+  # stand 8 m before the light, facing it
+  back = lp - 8.0 * np.array([np.cos(lyaw), np.sin(lyaw)])
+  ego = state.ego.replace(pos=jnp.asarray([back], jnp.float32),
+                          yaw=jnp.asarray([lyaw], jnp.float32))
+  # find a red tick and a green tick for THIS light
+  t_red = t_green = None
+  for t in range(0, 1200, 5):
+    s = int(scene.lights.state_at(jnp.asarray(t / 20.0))[0, li])
+    if s == LightState.RED and t_red is None:
+      t_red = t
+    if s == LightState.GREEN and t_green is None:
+      t_green = t
+    if t_red is not None and t_green is not None:
+      break
+  assert t_red is not None and t_green is not None
+  grid = camera_ray_grid(CFG, scale=8)
+  outs = {}
+  for name, t in (("red", t_red), ("green", t_green)):
+    st = state.replace(ego=ego, tick=jnp.asarray([t], jnp.int32))
+    outs[name] = render_camera(CFG, maps, scene, st, grid)
+  sem_r = np.asarray(outs["red"]["semantic"][0])
+  sem_g = np.asarray(outs["green"]["semantic"][0])
+  # the pole is visible and collapses to the reference LIGHT class
+  assert (sem_r == Sem.LIGHT).any()
+  assert (sem_g == Sem.LIGHT).any()
+  assert sem_r.max() < Sem.LIGHT_GREEN      # no render-only ids leak
+  # pixels at the pole differ in RGB between states
+  mask = sem_r == Sem.LIGHT
+  rgb_r = np.asarray(outs["red"]["rgb"][0])[mask]
+  rgb_g = np.asarray(outs["green"]["rgb"][0])[mask]
+  assert np.abs(rgb_r - rgb_g).max() > 0.3
+
+
+def test_light_render_class_map():
+  ls = jnp.asarray([LightState.RED, LightState.YELLOW, LightState.GREEN])
+  out = np.asarray(light_render_class(ls))
+  assert list(out) == [Sem.LIGHT, Sem.LIGHT_YELLOW, Sem.LIGHT_GREEN]
+  assert PALETTE.shape[0] == Sem.NUM_RENDER
+
+
+def test_cull_boxes_keeps_nearest():
+  B, K = 2, 80
+  rng = np.random.default_rng(0)
+  boxes = np.zeros((B, K, 9), np.float32)
+  boxes[..., 0] = rng.uniform(-200, 200, (B, K))
+  boxes[..., 1] = rng.uniform(-200, 200, (B, K))
+  boxes[..., 2] = 1.0
+  boxes[..., 8] = 1.0
+  boxes[0, 5, 8] = 0.0                     # one invalid box near origin
+  boxes[0, 5, 0:2] = 0.0
+  ego = np.zeros((B, 2), np.float32)
+  out = np.asarray(cull_boxes(jnp.asarray(boxes), jnp.asarray(ego),
+                              max_boxes=16, max_range=100.0))
+  assert out.shape == (B, 16, 9)
+  d_in = np.hypot(boxes[..., 0], boxes[..., 1])
+  d_in[boxes[..., 8] == 0] = np.inf
+  d_out = np.hypot(out[..., 0], out[..., 1])
+  for b in range(B):
+    # the kept set IS the 16 nearest valid boxes
+    want = np.sort(d_in[b])[:16]
+    np.testing.assert_allclose(np.sort(d_out[b]), want, rtol=1e-5)
+    # validity dropped beyond max_range (+slack)
+    far = d_out[b] > 115.0
+    assert np.all(out[b, far, 8] == 0.0)
+
+
+def test_expert_full_stops_for_targeted_stop_sign():
+  """Closed loop: wherever the criterion's RunningStopTest machine arms,
+  the expert must satisfy it (zero stop infractions, an actual standstill
+  near the sign)."""
+  town, maps, lanes, scene, state = make_synthetic_batch(
+      CFG, batch=4, seed=5, n_vehicles=0, n_walkers=0)
+  sv = np.asarray(scene.stops.valid)
+  if not sv.any():
+    import pytest
+    pytest.skip("no stop signs in this seed")
+  run = jax.jit(lambda mp, ln, sc, st: rollout(CFG, mp, ln, sc, st, 512))
+  st = state
+  for _ in range(6):
+    st = run(maps, lanes, scene, st)
+  # alignment = zero violations; a machine that ARMED and released without
+  # a standstill would have scored one (stop_done latches on satisfy OR
+  # release — release-without-satisfy increments n_stop_sign)
+  assert int(np.asarray(st.criteria.n_stop_sign).sum()) == 0
