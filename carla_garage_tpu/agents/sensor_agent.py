@@ -172,12 +172,14 @@ def make_transfuser_policy(model: LidarCenterNet, params,
       from carla_garage_tpu.ops.jpeg import jpeg_artifacts
       cam = dict(cam, rgb=jpeg_artifacts(cam["rgb"],
                                          quality=jpeg_quality))
-    # alternate front/rear half sweeps by tick parity (CARLA semantics)
-    front = render_lidar(cfg, maps, scene, state, lidar_grid_front, r_lid)
-    rear = render_lidar(cfg, maps, scene, state, lidar_grid_rear, r_lid)
+    # alternate front/rear half sweeps by tick parity (CARLA semantics) —
+    # the half is selected BEFORE the cast (one raycast, not two)
     even = (state.tick % 2 == 0)[:, None]
-    pts_now = jnp.where(even[..., None], front[0], rear[0])
-    val_now = jnp.where(even, front[1], rear[1])
+    g_front = jnp.asarray(lidar_grid_front).reshape(-1, 3)
+    g_rear = jnp.asarray(lidar_grid_rear).reshape(-1, 3)
+    grid_sel = jnp.where(even[..., None], g_front[None], g_rear[None])
+    pts_now, val_now = render_lidar(cfg, maps, scene, state, grid_sel,
+                                    r_lid, per_episode=True)
     # realign the buffered past half sweeps into the current ego frame
     # (transfuser_utils.align_lidar:116-131 via the filtered pose log;
     # K > 1 is the temporal-LiDAR buffer of sensor_agent.py:358-431)

@@ -57,13 +57,19 @@ def full_lidar_grid(cfg: GlobalConfig, decimate: int = 1) -> np.ndarray:
 
 
 def render_lidar(cfg: GlobalConfig, maps: MapStack, scene: Scene,
-                 state: SimState, ray_grid: np.ndarray, rng: jnp.ndarray):
+                 state: SimState, ray_grid, rng: jnp.ndarray,
+                 per_episode: bool = False):
   """One half-sweep -> points [B,N,3] in the EGO frame (LiDAR at
-  lidar_pos, config.py:94) + valid mask [B,N] (range + dropoff)."""
+  lidar_pos, config.py:94) + valid mask [B,N] (range + dropoff).
+
+  per_episode=True takes ray_grid as [B,N,3] — a per-episode direction
+  set (the sensor agent selects front/rear half by tick parity BEFORE
+  casting, halving the raycast work vs rendering both halves)."""
   sc = cfg.sensor
   B = state.ego.yaw.shape[0]
-  dirs_local = jnp.asarray(ray_grid).reshape(1, -1, 3)
-  N = dirs_local.shape[1]
+  dirs_local = jnp.asarray(ray_grid) if per_episode \
+      else jnp.asarray(ray_grid).reshape(1, -1, 3)
+  N = dirs_local.shape[-2]
   yaw = state.ego.yaw[:, None]
   dxy = geo.ego_to_world(dirs_local[..., :2], jnp.zeros((B, 1, 2)), yaw)
   dirs = jnp.concatenate([dxy, jnp.broadcast_to(dirs_local[..., 2:],

@@ -92,8 +92,13 @@ def load_depth(route_dir: str, frame: int) -> np.ndarray:
 
 
 def load_lidar(route_dir: str, frame: int) -> np.ndarray:
-  """[N,3] points. Supports .npy/.npz mirrors; .laz needs laspy."""
+  """[N,3] points. Supports .lzc (native codec), .npy/.npz mirrors;
+  .laz needs laspy."""
   base = os.path.join(route_dir, "lidar", f"{frame:04d}")
+  if os.path.exists(base + ".lzc"):
+    from carla_garage_tpu.utils import lidar_codec
+    with open(base + ".lzc", "rb") as f:
+      return lidar_codec.decompress(f.read())
   if os.path.exists(base + ".npy"):
     return np.load(base + ".npy").astype(np.float32)
   if os.path.exists(base + ".npz"):

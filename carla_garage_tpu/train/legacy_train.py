@@ -134,8 +134,11 @@ def export_reference_layout(out_root: str, cfg: GlobalConfig, maps, scene,
           os.path.join(rd, "depth", f"{f_idx:04d}.png"))
       Image.fromarray(batch["bev_semantic"][b].astype(np.uint8)).save(
           os.path.join(rd, "bev_semantics", f"{f_idx:04d}.png"))
-      np.save(os.path.join(rd, "lidar", f"{f_idx:04d}.npy"),
-              pts[b][pval[b]].astype(np.float32))
+      # compressed sweep via the native codec (the reference's laszip
+      # role, data_agent.py:359-369 — ~4-5x over raw float32)
+      from carla_garage_tpu.utils import lidar_codec
+      with open(os.path.join(rd, "lidar", f"{f_idx:04d}.lzc"), "wb") as lf:
+        lf.write(lidar_codec.compress(pts[b][pval[b]].astype(np.float32)))
 
       # boxes in the EGO frame (data_agent.py:383-570 layout)
       from carla_garage_tpu.utils import geodesy as geo_np  # noqa: F401

@@ -369,9 +369,16 @@ def make_transfuser_train_step(cfg: GlobalConfig, tcfg: TransfuserConfig,
     """Loss on ONE rendered frame index (micro-batch = the episode axis)."""
     return loss_fn(trainable, fi[None], rng, maps_, scene_, frames_, wp_w)
 
-  @jax.jit
+  from functools import partial
+
+  @partial(jax.jit, donate_argnums=(0, 1))
   def train_step(trainable, opt_state, f_idx, rng, maps_, scene_, frames_,
                  wp_w=1.0):
+    # donate params + opt state: without donation XLA holds OLD and NEW
+    # copies of both across the update (~1.4 GB at 120M params), which
+    # alone is the difference between fitting and OOM once the six town
+    # rasters (~1.6 GB) are resident. Callers must not reuse the passed-in
+    # arrays afterwards (snapshot to host for best-checkpoint keeping).
     # Gradient accumulation over the frame indices: the full-spec model
     # (regnety_032, 1024x256) OOMs beyond a 16-sample fwd/bwd on one v5e
     # chip, so the effective batch (the reference's 64, config.py:171-173)

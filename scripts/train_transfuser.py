@@ -426,12 +426,15 @@ def main():
       ev["step"] = i + 1
       evals.append(ev)
       print(f"eval @{i+1}: {ev}", flush=True)
-      save_checkpoint(f"{args.out}_step{i+1}", params,
+      # host snapshot: train_step donates the params buffer, so any
+      # reference kept across the next step would read freed memory
+      params_host = jax.tree.map(np.asarray, params)
+      save_checkpoint(f"{args.out}_step{i+1}", params_host,
                       meta={"model": "transfuser", "step": i + 1,
                             "config": dataclasses.asdict(tcfg), "eval": ev})
       if ev["DS"] >= best["DS"]:
         best = ev
-        best_params = params
+        best_params = params_host
 
   # ---- DAgger fine-tune rounds: collect on-policy mistakes, train on
   # them (wp loss off — the recorded trajectory is the policy's own),
@@ -468,15 +471,16 @@ def main():
     ev["dagger_round"] = r
     evals.append(ev)
     print(f"eval dagger@{r}: {ev}", flush=True)
-    save_checkpoint(f"{args.out}_dagger{r}", params,
+    params_host = jax.tree.map(np.asarray, params)
+    save_checkpoint(f"{args.out}_dagger{r}", params_host,
                     meta={"model": "transfuser", "dagger_round": r,
                           "config": dataclasses.asdict(tcfg), "eval": ev})
     if ev["DS"] >= best["DS"]:
       best = ev
-      best_params = params
+      best_params = params_host
 
   if not evals:
-    best_params = params
+    best_params = jax.tree.map(np.asarray, params)
   save_checkpoint(args.out, best_params,
                   meta={"model": "transfuser",
                         "config": dataclasses.asdict(tcfg),

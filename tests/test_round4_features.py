@@ -159,3 +159,24 @@ def test_expert_full_stops_for_targeted_stop_sign():
   # a standstill would have scored one (stop_done latches on satisfy OR
   # release — release-without-satisfy increments n_stop_sign)
   assert int(np.asarray(st.criteria.n_stop_sign).sum()) == 0
+
+
+def test_lidar_codec_roundtrip():
+  """Native (or fallback) delta-varint codec: lossless to quantization,
+  byte-format compatible between the C++ and numpy implementations."""
+  from carla_garage_tpu.utils import lidar_codec as lc
+  rng = np.random.default_rng(1)
+  az = np.linspace(-np.pi, np.pi, 5000)
+  r = 15 + 8 * np.sin(2 * az) + rng.normal(0, 0.02, az.shape)
+  pts = np.stack([r * np.cos(az), r * np.sin(az),
+                  rng.normal(1.0, 0.05, az.shape)], -1).astype(np.float32)
+  blob = lc.compress(pts)
+  back = lc.decompress(blob)
+  assert back.shape == pts.shape
+  assert np.abs(back - pts).max() <= 1.1e-3       # 2 mm quantization
+  assert len(blob) < pts.nbytes / 2.5             # actually compresses
+  # fallback decodes the same bytes
+  np.testing.assert_allclose(lc._decompress_py(blob), back, atol=1e-6)
+  # empty cloud round-trips
+  assert lc.decompress(lc.compress(np.zeros((0, 3), np.float32))).shape \
+      == (0, 3)
