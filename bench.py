@@ -202,15 +202,22 @@ def profile_sensor_stages(full_spec: bool):
       "full_policy_step": (maps, lanes, scene, state, params),
   }
   out = {}
+  from carla_garage_tpu.utils.profiling import trace
+  import contextlib
+  # one XProf trace of the full-policy step ships alongside the table
+  trace_dir = f"results/trace_sensor_on_{'full' if full_spec else 'reduced'}"
   for name, fn in stages.items():
     a = args_for[name]
     r = fn(*a)
     jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    n = 10
-    for _ in range(n):
-      r = fn(*a)
-    jax.block_until_ready(r)
+    ctx = trace(trace_dir) if name == "full_policy_step" else \
+        contextlib.nullcontext()
+    with ctx:
+      t0 = time.perf_counter()
+      n = 10
+      for _ in range(n):
+        r = fn(*a)
+      jax.block_until_ready(r)
     out[name] = round((time.perf_counter() - t0) / n * 1000.0, 3)
   out["B"] = B
   out["config"] = "full" if full_spec else "reduced"

@@ -547,10 +547,45 @@ def _padded_town(town, pad_hw):
   return padded
 
 
+def crop_town_to_routes(town, episodes: list, crop_hw: tuple,
+                        margin_m: float = 130.0):
+  """Crop a town raster to the union bbox of the batch's routes.
+
+  The training/eval programs only ever look within sensor range of the
+  route corridor; carrying a full 4975^2 Town06 stack as a jit operand
+  makes the remote XLA compile pathological AND costs ~220 MB HBM per
+  resident copy. The crop keeps world coordinates intact (world_offset
+  shifts by the crop origin); areas outside the crop read as void, which
+  only far-off NPC backdrops can touch. Raises if the route bbox + margin
+  cannot fit (caller should sample shorter routes)."""
+  Ht, Wt = crop_hw
+  pts = np.concatenate([ep.dense for ep in episodes])
+  lo = pts.min(0) - margin_m
+  hi = pts.max(0) + margin_m
+  ppm = town.ppm
+  need = (hi - lo) * ppm
+  if need[0] > Wt or need[1] > Ht:
+    raise ValueError(f"route bbox {need} px exceeds crop {crop_hw}")
+  C, H, W = town.raster.shape
+  cx = (lo[0] + hi[0]) / 2.0
+  cy = (lo[1] + hi[1]) / 2.0
+  ox = int(np.clip(round((cx - town.world_offset[0]) * ppm - Wt / 2),
+                   0, max(W - Wt, 0)))
+  oy = int(np.clip(round((cy - town.world_offset[1]) * ppm - Ht / 2),
+                   0, max(H - Ht, 0)))
+  r = np.zeros((C, Ht, Wt), town.raster.dtype)
+  sy, sx = min(Ht, H - oy), min(Wt, W - ox)
+  r[:, :sy, :sx] = town.raster[:, oy:oy + sy, ox:ox + sx]
+  off = town.world_offset + np.array([ox, oy], np.float32) / ppm
+  return dataclasses.replace(town, raster=r,
+                             world_offset=off.astype(np.float32))
+
+
 def make_town_batch(cfg: GlobalConfig, town_name: str, batch: int = 4,
                     seed: int = 0, n_vehicles: int = 8, n_walkers: int = 2,
                     min_route_m: float = 250.0, max_route_m: float = 500.0,
-                    pad_hw: tuple | None = None, assets_root: str = None):
+                    pad_hw: tuple | None = None, assets_root: str = None,
+                    crop_hw: tuple | None = None):
   """Real-town analog of make_synthetic_batch: random lane-graph routes on
   an imported CARLA town (Town01-06) — the datagen diversity the reference
   gets from generate_dataset_slurm's per-town route files. town_name
@@ -568,33 +603,60 @@ def make_town_batch(cfg: GlobalConfig, town_name: str, batch: int = 4,
         town_name, assets_root or importer.DEFAULT_ASSETS)
     town = importer.as_synthetic_town(imported)
     is_conn = imported.lane_is_connector
-  if pad_hw is not None:
+  if pad_hw is not None and crop_hw is None:
     town = _padded_town(town, pad_hw)
+  # with a crop, keep every episode's route inside one crop window: the
+  # batch shares a region anchor (union bbox constrained to the usable
+  # crop extent minus the sensor/NPC margin)
+  margin_m = 130.0
+  crop_eff = (min(crop_hw) / town.ppm - 2 * margin_m) \
+      if crop_hw is not None else None
+  union_lo = union_hi = None
   eps = []
   for _ in range(batch):
     ep = None
-    for _retry in range(64):
+    for _retry in range(128):
       res = routing.sample_lane_route(
           town.lane_polys, town.lane_successors, rng,
           min_len_m=min_route_m, max_len_m=max_route_m,
           is_connector=is_conn)
       if res is None:
         continue
+      if crop_eff is not None:
+        lo, hi = res[0].min(0), res[0].max(0)
+        nlo = lo if union_lo is None else np.minimum(union_lo, lo)
+        nhi = hi if union_hi is None else np.maximum(union_hi, hi)
+        if float(np.max(nhi - nlo)) > crop_eff - 20.0:
+          continue                    # would overflow the shared window
       ep = compile_route(town, res[0], res[1])
       if ep.length_m >= 0.8 * min_route_m:
+        if crop_eff is not None:
+          lo, hi = ep.dense.min(0), ep.dense.max(0)
+          union_lo = lo if union_lo is None else np.minimum(union_lo, lo)
+          union_hi = hi if union_hi is None else np.maximum(union_hi, hi)
         break
     if ep is None:
       raise RuntimeError(f"no routable lanes in {town_name}")
     eps.append(ep)
+  if crop_hw is not None:
+    town = crop_town_to_routes(town, eps, crop_hw, margin_m=margin_m)
   maps, lanes, scene, state = build_batch(
       cfg, town, eps, seed=seed, n_vehicles=n_vehicles,
       n_walkers=n_walkers)
   # device-side raster/lane-graph dedup: every dataset shard on the same
   # town reuses ONE HBM allocation (a padded Town06 stack is ~220 MB —
-  # without this, 12 shards would hold 12 copies)
+  # without this, 12 shards would hold 12 copies). Crops are per-batch
+  # windows, so only lanes (town-wide, crop-independent) dedup there.
   key = ("devcache", town_name, pad_hw)
-  if key in _PAD_CACHE:
-    maps, lanes = _PAD_CACHE[key]
+  if crop_hw is None:
+    if key in _PAD_CACHE:
+      maps, lanes = _PAD_CACHE[key]
+    else:
+      _PAD_CACHE[key] = (maps, lanes)
   else:
-    _PAD_CACHE[key] = (maps, lanes)
+    lkey = ("devcache_lanes", town_name)
+    if lkey in _PAD_CACHE:
+      lanes = _PAD_CACHE[lkey]
+    else:
+      _PAD_CACHE[lkey] = lanes
   return town, maps, lanes, scene, state

@@ -68,7 +68,7 @@ def model_config(args) -> TransfuserConfig:
 
 
 def build_dataset(args, seed: int, collect=None, town_name: str = "synth",
-                  pad_hw=None):
+                  pad_hw=None, crop_hw=None):
   """One expert-datagen shard: scene batch + frames, with the quality gate
   (imperfect episodes -> alive=False everywhere -> loss weight 0).
 
@@ -82,8 +82,8 @@ def build_dataset(args, seed: int, collect=None, town_name: str = "synth",
   n_veh = int(rng.integers(args.min_vehicles, args.max_vehicles + 1))
   town, maps, lanes, scene, state = make_town_batch(
       CFG, town_name, batch=args.episodes, seed=seed, n_vehicles=n_veh,
-      n_walkers=2, pad_hw=pad_hw, min_route_m=args.min_route_m,
-      max_route_m=args.max_route_m)
+      n_walkers=2, pad_hw=pad_hw, crop_hw=crop_hw,
+      min_route_m=args.min_route_m, max_route_m=args.max_route_m)
   # chunked datagen: ONE compiled fixed-length collect reused across
   # chunks and datasets (long-scan programs stall the remote XLA compiler;
   # chunk length keeps compile time flat — rollout_chunked's recipe)
@@ -133,7 +133,8 @@ def build_dataset(args, seed: int, collect=None, town_name: str = "synth",
 
 
 def build_dagger_dataset(args, tcfg, model, params, cam_grid, lid_f, lid_r,
-                         seed: int, town_name: str = "synth", pad_hw=None):
+                         seed: int, town_name: str = "synth", pad_hw=None,
+                         crop_hw=None):
   """On-policy corrective data (DAgger): the CURRENT model drives fresh
   scenes while the expert's carry state rides along and labels every
   visited state (collect_dagger_frames). No quality gate — mistake states
@@ -143,8 +144,8 @@ def build_dagger_dataset(args, tcfg, model, params, cam_grid, lid_f, lid_r,
   n_veh = int(rng_np.integers(args.min_vehicles, args.max_vehicles + 1))
   town, maps, lanes, scene, state = make_town_batch(
       CFG, town_name, batch=args.episodes, seed=seed, n_vehicles=n_veh,
-      n_walkers=2, pad_hw=pad_hw, min_route_m=args.min_route_m,
-      max_route_m=args.max_route_m)
+      n_walkers=2, pad_hw=pad_hw, crop_hw=crop_hw,
+      min_route_m=args.min_route_m, max_route_m=args.max_route_m)
   n_lidar = lid_f.shape[0] * lid_f.shape[1]
   policy = make_transfuser_policy(model, None, tcfg, cam_grid, lid_f, lid_r,
                                   direct=True, bf16=True,
@@ -166,13 +167,13 @@ def build_dagger_dataset(args, tcfg, model, params, cam_grid, lid_f, lid_r,
 def closed_loop_eval(args, tcfg, model, params, cam_grid, lid_f, lid_r,
                      n_routes: int, seed: int, max_ticks: int = 6000,
                      brake_threshold: float = 0.33,
-                     town_name: str = "synth", pad_hw=None):
+                     town_name: str = "synth", pad_hw=None, crop_hw=None):
   """brake_threshold=0.33 is the reference's published Longest6 operating
   point (UNCERTAINTY_THRESHOLD=0.33, README.md:82-84). town_name picks the
   eval world (real imported towns included)."""
   town, maps, lanes, scene, state = make_town_batch(
       CFG, town_name, batch=n_routes, seed=seed, n_vehicles=8, n_walkers=2,
-      pad_hw=pad_hw)
+      pad_hw=pad_hw, crop_hw=crop_hw)
   route_lens = jnp.asarray([
       float(np.asarray(scene.route.seg_len)[i][
           :int(np.asarray(scene.route.num_valid)[i])].sum())
@@ -201,7 +202,7 @@ def closed_loop_eval(args, tcfg, model, params, cam_grid, lid_f, lid_r,
 
 
 def eval_suite(args, tcfg, model, params, cam_grid, lid_f, lid_r,
-               towns, seeds, n_routes, pad_hw=None,
+               towns, seeds, n_routes, pad_hw=None, crop_hw=None,
                brake_threshold: float = 0.33):
   """Mean/std DS over (town x seed) closed-loop batches.
 
@@ -213,7 +214,8 @@ def eval_suite(args, tcfg, model, params, cam_grid, lid_f, lid_r,
     for s in seeds:
       ev = closed_loop_eval(args, tcfg, model, params, cam_grid, lid_f,
                             lid_r, n_routes, seed=s, town_name=t,
-                            pad_hw=pad_hw, brake_threshold=brake_threshold)
+                            pad_hw=pad_hw, crop_hw=crop_hw,
+                            brake_threshold=brake_threshold)
       ev["town"], ev["seed"] = t, s
       rows.append(ev)
   ds = np.array([r["DS"] for r in rows])
@@ -279,6 +281,12 @@ def main():
   ap.add_argument("--final-eval-seeds", type=int, default=3,
                   help="eval batches per town for the FINAL multi-seed "
                        "eval (error bars; round-3 Weak #2)")
+  ap.add_argument("--crop-px", type=int, default=3456,
+                  help="crop each dataset's town raster to this square "
+                       "window around its routes (0 = full padded towns). "
+                       "Full 4975^2 Town06 stacks as jit operands make the "
+                       "remote XLA compile pathological; the corridor crop "
+                       "is all the sensors ever see")
   ap.add_argument("--min-route-m", type=float, default=250.0,
                   help="datagen route length bounds; match to --frames "
                        "(a 500-frame episode covers ~125 s of driving)")
@@ -330,17 +338,24 @@ def main():
                                 f"{name}.h5")) as f:
       return tuple(f["road"].shape)
   all_towns = list(args.towns) + list(args.eval_towns)
-  pad_hw = (max(town_hw(t)[0] for t in all_towns),
-            max(town_hw(t)[1] for t in all_towns))
-  print(f"common raster shape {pad_hw} over {sorted(set(all_towns))}",
-        flush=True)
+  if args.crop_px:
+    crop_hw = (args.crop_px, args.crop_px)
+    pad_hw = None
+    print(f"route-corridor crops {crop_hw} over {sorted(set(all_towns))}",
+          flush=True)
+  else:
+    crop_hw = None
+    pad_hw = (max(town_hw(t)[0] for t in all_towns),
+              max(town_hw(t)[1] for t in all_towns))
+    print(f"common raster shape {pad_hw} over {sorted(set(all_towns))}",
+          flush=True)
   t0 = time.time()
   datasets = []
   collect = None
   for d in range(args.datasets):
     town_name = args.towns[d % len(args.towns)]
     ds = build_dataset(args, seed=1000 * d + 17, collect=collect,
-                       town_name=town_name, pad_hw=pad_hw)
+                       town_name=town_name, pad_hw=pad_hw, crop_hw=crop_hw)
     collect = ds["collect"]
     datasets.append(ds)
     print(f"dataset {d} [{town_name}]: {args.episodes}x{args.frames} "
@@ -419,7 +434,7 @@ def main():
     if args.eval_every and (i + 1) % args.eval_every == 0:
       ev = eval_suite(args, tcfg, model, params, cam_grid, lid_front,
                       lid_rear, args.eval_towns, [321], args.eval_routes,
-                      pad_hw=pad_hw,
+                      pad_hw=pad_hw, crop_hw=crop_hw,
                       brake_threshold=args.eval_brake_threshold)
       ev["diagnosis"] = offline_diagnosis(tcfg, model, params, eval_fn,
                                           datasets, np_rng)
@@ -443,7 +458,8 @@ def main():
     dag_town = args.towns[(r * 3 + 1) % len(args.towns)]
     dset = build_dagger_dataset(args, tcfg, model, params, cam_grid,
                                 lid_front, lid_rear, seed=5000 + 97 * r,
-                                town_name=dag_town, pad_hw=pad_hw)
+                                town_name=dag_town, pad_hw=pad_hw,
+                                crop_hw=crop_hw)
     print(f"dagger round {r} [{dag_town}]: {len(dset['usable'])} usable "
           f"frame rows", flush=True)
     for i in range(args.dagger_steps):
@@ -463,7 +479,7 @@ def main():
               flush=True)
     ev = eval_suite(args, tcfg, model, params, cam_grid, lid_front,
                     lid_rear, args.eval_towns, [321], args.eval_routes,
-                    pad_hw=pad_hw,
+                    pad_hw=pad_hw, crop_hw=crop_hw,
                     brake_threshold=args.eval_brake_threshold)
     ev["diagnosis"] = offline_diagnosis(tcfg, model, params, eval_fn,
                                         datasets, np_rng)
@@ -490,7 +506,7 @@ def main():
   final_ev = eval_suite(args, tcfg, model, best_params, cam_grid,
                         lid_front, lid_rear, args.eval_towns,
                         [4321 + 11 * k for k in range(args.final_eval_seeds)],
-                        args.eval_routes, pad_hw=pad_hw,
+                        args.eval_routes, pad_hw=pad_hw, crop_hw=crop_hw,
                         brake_threshold=args.eval_brake_threshold)
   out = {
       "transfuser_DS": final_ev["DS"],
