@@ -164,6 +164,30 @@ def build_dagger_dataset(args, tcfg, model, params, cam_grid, lid_f, lid_r,
               usable=usable)
 
 
+DEVICE_KEYS = ("maps", "scene", "frames")
+
+
+def dataset_to_host(ds):
+  """Pull a dataset's device arrays to host RAM. The chip's usable HBM is
+  nearly consumed by the full-spec train step itself (bisected on-device:
+  one resident dataset runs, +1.3 GB of extra rasters RESOURCE_EXHAUSTs /
+  wedges the backend) — so datasets live on host and the train loop keeps
+  exactly ONE on device at a time (block scheduling)."""
+  import jax as _jax
+  out = dict(ds)
+  for k in DEVICE_KEYS:
+    out[k] = _jax.tree.map(np.asarray, ds[k])
+  return out
+
+
+def dataset_to_device(ds):
+  import jax as _jax
+  out = dict(ds)
+  for k in DEVICE_KEYS:
+    out[k] = _jax.device_put(ds[k])
+  return out
+
+
 def closed_loop_eval(args, tcfg, model, params, cam_grid, lid_f, lid_r,
                      n_routes: int, seed: int, max_ticks: int = 6000,
                      brake_threshold: float = 0.33,
@@ -281,6 +305,9 @@ def main():
   ap.add_argument("--final-eval-seeds", type=int, default=3,
                   help="eval batches per town for the FINAL multi-seed "
                        "eval (error bars; round-3 Weak #2)")
+  ap.add_argument("--block-steps", type=int, default=150,
+                  help="consecutive steps per dataset shard (one shard's "
+                       "arrays resident on device at a time)")
   ap.add_argument("--crop-px", type=int, default=3456,
                   help="crop each dataset's town raster to this square "
                        "window around its routes (0 = full padded towns). "
@@ -357,7 +384,8 @@ def main():
     ds = build_dataset(args, seed=1000 * d + 17, collect=collect,
                        town_name=town_name, pad_hw=pad_hw, crop_hw=crop_hw)
     collect = ds["collect"]
-    datasets.append(ds)
+    datasets.append(dataset_to_host(ds))
+    ds = datasets[-1]
     print(f"dataset {d} [{town_name}]: {args.episodes}x{args.frames} "
           f"frames, {ds['n_clean']}/{args.episodes} clean episodes, "
           f"{len(ds['usable'])} usable frames "
@@ -412,18 +440,25 @@ def main():
              else ds["usable"] for _ in range(k)]
     return jnp.asarray([np_rng.choice(p) for p in pools], jnp.int32)
 
-  # ---- training loop ----
+  # ---- training loop: block-scheduled datasets (ONE resident at a time;
+  # ~85 MB corridor raster re-uploads every --block-steps) ----
   np_rng = np.random.default_rng(0)
   history, evals = [], []
   best = {"DS": -1.0}
   best_params = params
   t0 = time.time()
+  cur_d, dev = -1, None
   for i in range(args.steps):
-    ds = datasets[i % len(datasets)]
+    di = (i // args.block_steps) % len(datasets)
+    if di != cur_d:
+      dev = dataset_to_device(datasets[di])
+      cur_d = di
+    ds = datasets[di]
     f_idx = sample_frames(ds, args.frames_per_step)
     rng, sub = jax.random.split(rng)
     params, opt_state, aux = step_fn(params, opt_state, f_idx, sub,
-                                     ds["maps"], ds["scene"], ds["frames"])
+                                     dev["maps"], dev["scene"],
+                                     dev["frames"])
     if i % max(args.steps // 40, 1) == 0 or i == args.steps - 1:
       h = {k: float(v) for k, v in aux.items()}
       h["step"] = i
@@ -451,6 +486,7 @@ def main():
         best = ev
         best_params = params_host
 
+  dev = None          # release the last block's resident dataset
   # ---- DAgger fine-tune rounds: collect on-policy mistakes, train on
   # them (wp loss off — the recorded trajectory is the policy's own),
   # interleaved 1:1 with expert replay so BC supervision doesn't erode ----
@@ -462,18 +498,28 @@ def main():
                                 crop_hw=crop_hw)
     print(f"dagger round {r} [{dag_town}]: {len(dset['usable'])} usable "
           f"frame rows", flush=True)
+    # dset stays resident for the round; expert replay shards rotate in
+    # blocks (one expert shard on device at a time, same residency rule)
+    cur_e, dev_e = -1, None
     for i in range(args.dagger_steps):
       on_policy = (i % 2 == 0)
-      ds = dset if on_policy else datasets[(i // 2) % len(datasets)]
       wp_w = 0.0 if on_policy else 1.0
+      if on_policy:
+        ds, dv = dset, dset
+      else:
+        ei = ((i // 2) // args.block_steps) % len(datasets)
+        if ei != cur_e:
+          dev_e = dataset_to_device(datasets[ei])
+          cur_e = ei
+        ds, dv = datasets[ei], dev_e
       f_idx = (jnp.asarray(np_rng.choice(ds["usable"],
                                          size=args.frames_per_step),
                            jnp.int32)
                if on_policy else sample_frames(ds, args.frames_per_step))
       rng, sub = jax.random.split(rng)
       params, opt_state, aux = step_fn(params, opt_state, f_idx, sub,
-                                       ds["maps"], ds["scene"],
-                                       ds["frames"], wp_w)
+                                       dv["maps"], dv["scene"],
+                                       dv["frames"], wp_w)
       if i % max(args.dagger_steps // 8, 1) == 0:
         print(f"dagger {r} step {i}: loss {float(aux['loss']):.3f}",
               flush=True)
