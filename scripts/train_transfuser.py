@@ -459,7 +459,12 @@ def main():
     params, opt_state, aux = step_fn(params, opt_state, f_idx, sub,
                                      dev["maps"], dev["scene"],
                                      dev["frames"])
-    if i % max(args.steps // 40, 1) == 0 or i == args.steps - 1:
+    # synchronous stepping: the axon backend deadlocks when the async
+    # dispatch stream runs ahead of execution (observed twice — the loop
+    # wedged right after step 0 with zero socket traffic; the probe and
+    # repro, which synced every few steps, never wedged)
+    jax.block_until_ready(aux["loss"])
+    if i % min(max(args.steps // 40, 1), 250) == 0 or i == args.steps - 1:
       h = {k: float(v) for k, v in aux.items()}
       h["step"] = i
       h["wall_s"] = round(time.time() - t0, 1)
@@ -520,6 +525,7 @@ def main():
       params, opt_state, aux = step_fn(params, opt_state, f_idx, sub,
                                        dv["maps"], dv["scene"],
                                        dv["frames"], wp_w)
+      jax.block_until_ready(aux["loss"])
       if i % max(args.dagger_steps // 8, 1) == 0:
         print(f"dagger {r} step {i}: loss {float(aux['loss']):.3f}",
               flush=True)
