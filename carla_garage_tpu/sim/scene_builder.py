@@ -585,7 +585,8 @@ def make_town_batch(cfg: GlobalConfig, town_name: str, batch: int = 4,
                     seed: int = 0, n_vehicles: int = 8, n_walkers: int = 2,
                     min_route_m: float = 250.0, max_route_m: float = 500.0,
                     pad_hw: tuple | None = None, assets_root: str = None,
-                    crop_hw: tuple | None = None):
+                    crop_hw: tuple | None = None,
+                    crop_margin_m: float = 130.0):
   """Real-town analog of make_synthetic_batch: random lane-graph routes on
   an imported CARLA town (Town01-06) — the datagen diversity the reference
   gets from generate_dataset_slurm's per-town route files. town_name
@@ -608,7 +609,7 @@ def make_town_batch(cfg: GlobalConfig, town_name: str, batch: int = 4,
   # with a crop, keep every episode's route inside one crop window: the
   # batch shares a region anchor (union bbox constrained to the usable
   # crop extent minus the sensor/NPC margin)
-  margin_m = 130.0
+  margin_m = crop_margin_m
   crop_eff = (min(crop_hw) / town.ppm - 2 * margin_m) \
       if crop_hw is not None else None
   union_lo = union_hi = None

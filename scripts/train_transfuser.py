@@ -82,7 +82,7 @@ def build_dataset(args, seed: int, collect=None, town_name: str = "synth",
   n_veh = int(rng.integers(args.min_vehicles, args.max_vehicles + 1))
   town, maps, lanes, scene, state = make_town_batch(
       CFG, town_name, batch=args.episodes, seed=seed, n_vehicles=n_veh,
-      n_walkers=2, pad_hw=pad_hw, crop_hw=crop_hw,
+      n_walkers=2, pad_hw=pad_hw, crop_hw=crop_hw, crop_margin_m=args.crop_margin_m,
       min_route_m=args.min_route_m, max_route_m=args.max_route_m)
   # chunked datagen: ONE compiled fixed-length collect reused across
   # chunks and datasets (long-scan programs stall the remote XLA compiler;
@@ -144,7 +144,7 @@ def build_dagger_dataset(args, tcfg, model, params, cam_grid, lid_f, lid_r,
   n_veh = int(rng_np.integers(args.min_vehicles, args.max_vehicles + 1))
   town, maps, lanes, scene, state = make_town_batch(
       CFG, town_name, batch=args.episodes, seed=seed, n_vehicles=n_veh,
-      n_walkers=2, pad_hw=pad_hw, crop_hw=crop_hw,
+      n_walkers=2, pad_hw=pad_hw, crop_hw=crop_hw, crop_margin_m=args.crop_margin_m,
       min_route_m=args.min_route_m, max_route_m=args.max_route_m)
   n_lidar = lid_f.shape[0] * lid_f.shape[1]
   policy = make_transfuser_policy(model, None, tcfg, cam_grid, lid_f, lid_r,
@@ -197,7 +197,7 @@ def closed_loop_eval(args, tcfg, model, params, cam_grid, lid_f, lid_r,
   eval world (real imported towns included)."""
   town, maps, lanes, scene, state = make_town_batch(
       CFG, town_name, batch=n_routes, seed=seed, n_vehicles=8, n_walkers=2,
-      pad_hw=pad_hw, crop_hw=crop_hw)
+      pad_hw=pad_hw, crop_hw=crop_hw, crop_margin_m=args.crop_margin_m)
   route_lens = jnp.asarray([
       float(np.asarray(scene.route.seg_len)[i][
           :int(np.asarray(scene.route.num_valid)[i])].sum())
@@ -308,6 +308,9 @@ def main():
   ap.add_argument("--block-steps", type=int, default=150,
                   help="consecutive steps per dataset shard (one shard's "
                        "arrays resident on device at a time)")
+  ap.add_argument("--crop-margin-m", type=float, default=130.0,
+                  help="clearance kept around the route union bbox in a "
+                       "corridor crop (sensor range is 85 m)")
   ap.add_argument("--crop-px", type=int, default=3456,
                   help="crop each dataset's town raster to this square "
                        "window around its routes (0 = full padded towns). "
