@@ -614,14 +614,28 @@ def make_town_batch(cfg: GlobalConfig, town_name: str, batch: int = 4,
       if crop_hw is not None else None
   union_lo = union_hi = None
   eps = []
+  use_grid_sampler = town_name.startswith("synth")
   for _ in range(batch):
     ep = None
     for _retry in range(128):
-      res = routing.sample_lane_route(
-          town.lane_polys, town.lane_successors, rng,
-          min_len_m=min_route_m, max_len_m=max_route_m,
-          is_connector=is_conn)
+      if use_grid_sampler:
+        # the lattice walker (battle-tested on the grid town); lane-graph
+        # walks on the grid loop back to their start block, and a route
+        # whose END sits near the spawn satisfies the completion
+        # criterion's goal test instantly
+        res = sample_route_keypoints(town, rng, min_len_m=min_route_m)
+        if len(res[0]) < 4:
+          res = None
+      else:
+        res = routing.sample_lane_route(
+            town.lane_polys, town.lane_successors, rng,
+            min_len_m=min_route_m, max_len_m=max_route_m,
+            is_connector=is_conn)
       if res is None:
+        continue
+      # reject loop routes everywhere: goal within 40 m of the spawn
+      # completes at tick 0 (criteria near_goal test)
+      if np.linalg.norm(res[0][-1] - res[0][0]) < 40.0:
         continue
       if crop_eff is not None:
         lo, hi = res[0].min(0), res[0].max(0)

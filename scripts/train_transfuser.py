@@ -387,6 +387,10 @@ def main():
     ds = build_dataset(args, seed=1000 * d + 17, collect=collect,
                        town_name=town_name, pad_hw=pad_hw, crop_hw=crop_hw)
     collect = ds["collect"]
+    if len(ds["usable"]) == 0:
+      print(f"dataset {d} [{town_name}]: EMPTY (no usable frames) — "
+            f"skipped", flush=True)
+      continue
     datasets.append(dataset_to_host(ds))
     ds = datasets[-1]
     print(f"dataset {d} [{town_name}]: {args.episodes}x{args.frames} "
