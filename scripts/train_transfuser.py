@@ -305,6 +305,9 @@ def main():
   ap.add_argument("--final-eval-seeds", type=int, default=3,
                   help="eval batches per town for the FINAL multi-seed "
                        "eval (error bars; round-3 Weak #2)")
+  ap.add_argument("--log-every", type=int, default=250,
+                  help="step-log interval; 1 = full aux readback every "
+                       "step (the axon backend has wedged without it)")
   ap.add_argument("--block-steps", type=int, default=150,
                   help="consecutive steps per dataset shard (one shard's "
                        "arrays resident on device at a time)")
@@ -471,7 +474,7 @@ def main():
     # wedged right after step 0 with zero socket traffic; the probe and
     # repro, which synced every few steps, never wedged)
     jax.block_until_ready(aux["loss"])
-    if i % min(max(args.steps // 40, 1), 250) == 0 or i == args.steps - 1:
+    if i % args.log_every == 0 or i == args.steps - 1:
       h = {k: float(v) for k, v in aux.items()}
       h["step"] = i
       h["wall_s"] = round(time.time() - t0, 1)
