@@ -39,6 +39,8 @@ class PlanTAgentState:
   pid_turn: PIDState
   pid_speed: PIDState
   cleared_stop_signs: jnp.ndarray    # [B,S] bool (autopilot.py:1013-1070)
+  stuck_count: jnp.ndarray           # [B] int32 ticks at ~zero speed
+  force_move: jnp.ndarray            # [B] int32 remaining creep frames
 
 
 def plant_agent_reset(cfg: GlobalConfig, B: int) -> PlanTAgentState:
@@ -49,7 +51,9 @@ def plant_agent_reset(cfg: GlobalConfig, B: int) -> PlanTAgentState:
                                   is_last=jnp.zeros((B,), bool)),
       pid_turn=PIDState.create((B,), cfg.expert.turn_n),
       pid_speed=PIDState.create((B,), cfg.expert.speed_n),
-      cleared_stop_signs=jnp.zeros((B, cfg.sim.max_stop_signs), bool))
+      cleared_stop_signs=jnp.zeros((B, cfg.sim.max_stop_signs), bool),
+      stuck_count=jnp.zeros((B,), jnp.int32),
+      force_move=jnp.zeros((B,), jnp.int32))
 
 
 def privileged_flags(cfg: GlobalConfig, maps, scene: Scene, state: SimState,
@@ -178,12 +182,21 @@ def extract_route(pcfg: PlanTConfig, scene: Scene, state: SimState,
 
 def make_plant_policy(model: PlanT, params, pcfg: PlanTConfig,
                       direct: bool = False,
-                      brake_threshold: float = 0.5):
+                      brake_threshold: float = 0.5,
+                      creep: bool = True):
   """Returns a PolicyFn running PlanT inside the env step.
 
   direct=True drives from the classified target speed + checkpoint aim
   angle (the DIRECT operating point — robust to the IL inertia problem)
-  instead of the waypoint controller."""
+  instead of the waypoint controller.
+
+  creep=True adds the stuck->creep recovery the SensorAgent has
+  (sensor_agent.py:561-599): after stuck_threshold ticks at ~zero speed,
+  throttle forward for creep_duration frames unless the box directly
+  ahead is occupied. PlanT is object-level, so the LiDAR safety-box gate
+  becomes a privileged OBB test against vehicles/walkers ahead. Without
+  it the dominant real-benchmark failure is collide -> wedge -> 'Agent
+  got blocked' (180 s at <0.1 m/s, atomic_criteria ActorSpeedAbove)."""
   target_speeds = jnp.array([0.0, 2.0, 5.0, 8.0])
 
   def policy(cfg: GlobalConfig, maps, scene: Scene, state: SimState, rng,
@@ -225,10 +238,42 @@ def make_plant_policy(model: PlanT, params, pcfg: PlanTConfig,
     else:
       steer, throttle, brake, pt2, ps2 = control_pid(
           ag.pid_turn, ag.pid_speed, out["pred_wp"], ego.speed, cfg)
+
+    stuck, force = ag.stuck_count, ag.force_move
+    if creep:
+      # --- stuck -> creep recovery (sensor_agent.py:561-599 semantics,
+      # privileged front-box gate instead of LiDAR returns) ---
+      e, s = cfg.expert, cfg.sim
+      stuck = jnp.where(ego.speed < 0.1, ag.stuck_count + 1, 0)
+      start_creep = stuck > e.stuck_threshold
+      force = jnp.where(start_creep, e.creep_duration,
+                        jnp.maximum(ag.force_move - 1, 0))
+      fwd = jnp.stack([jnp.cos(ego.yaw), jnp.sin(ego.yaw)], -1)
+      box_c = ego.pos + fwd * (s.ego_extent_x + 1.25)
+      box_e = jnp.stack([jnp.full_like(ego.yaw, 1.25),
+                         jnp.full_like(ego.yaw, s.ego_extent_y * 0.8)], -1)
+      veh, wlk = state.vehicles, state.walkers
+      hit_v = geo.obb_intersect(box_c[:, None], ego.yaw[:, None],
+                                box_e[:, None],
+                                veh.pos, veh.yaw, veh.extent) & veh.valid
+      hit_w = geo.obb_intersect(box_c[:, None], ego.yaw[:, None],
+                                box_e[:, None],
+                                wlk.pos, wlk.yaw, wlk.extent) & wlk.valid
+      obstructed = jnp.any(hit_v, -1) | jnp.any(hit_w, -1)
+      creeping = (force > 0) & ~obstructed
+      # an obstructed creep re-arms for when the box clears (ref :599)
+      force = jnp.where((force > 0) & obstructed, e.creep_duration, force)
+      throttle = jnp.where(creeping, e.creep_throttle, throttle)
+      brake = jnp.where(creeping, 0.0,
+                        jnp.where((force > 0) & obstructed, 1.0, brake))
+      stuck = jnp.where(creeping, 0, stuck)
+
     new_ag = PlanTAgentState(planner_dense=pl_dense,
                              planner_sparse=pl_sparse,
                              pid_turn=pt2, pid_speed=ps2,
-                             cleared_stop_signs=cleared)
+                             cleared_stop_signs=cleared,
+                             stuck_count=stuck.astype(jnp.int32),
+                             force_move=force.astype(jnp.int32))
     return Control(steer=steer, throttle=throttle, brake=brake), \
         {"agent": new_ag}
 

@@ -59,6 +59,47 @@ def test_datagen_and_training_and_closed_loop():
   assert bool(jnp.all(out.tick == 50) | jnp.any(out.done))
 
 
+def test_plant_creep_recovery():
+  """Stuck -> creep (sensor_agent.py:561-599 semantics at object level):
+  a long-stuck ego creeps when the front box is clear and full-brakes
+  (re-arming the creep) when a vehicle occupies it."""
+  pcfg = micro_tokens_config()
+  town, maps, lanes, scene, state = make_synthetic_batch(
+      CFG, batch=2, seed=3, n_vehicles=4, n_walkers=1)
+  model = PlanT(pcfg)
+  params = model.init(
+      jax.random.key(0),
+      jnp.zeros((2, pcfg.max_objects, pcfg.num_attributes)),
+      jnp.zeros((2, pcfg.max_objects), jnp.int32),
+      jnp.zeros((2, pcfg.num_route_points, 2)),
+      jnp.zeros((2,)), jnp.zeros((2,)), jnp.zeros((2,), bool),
+      jnp.zeros((2,)))
+  policy = make_plant_policy(model, params, pcfg, direct=True)
+
+  ego = state.ego
+  fwd = jnp.stack([jnp.cos(ego.yaw), jnp.sin(ego.yaw)], -1)
+  veh = state.vehicles
+  # env 1: park an NPC dead ahead, inside the creep safety box
+  blocker = ego.pos + fwd * (CFG.sim.ego_extent_x + 1.25)
+  pos = veh.pos.at[1, 0].set(blocker[1])
+  yaw = veh.yaw.at[1, 0].set(ego.yaw[1])
+  valid = veh.valid.at[:, 0].set(jnp.array([False, True]))
+  ag = plant_agent_reset(CFG, 2).replace(
+      stuck_count=jnp.full((2,), CFG.expert.stuck_threshold + 1, jnp.int32))
+  state2 = state.replace(
+      ego=ego.replace(speed=jnp.zeros((2,))),
+      vehicles=veh.replace(pos=pos, yaw=yaw, valid=valid),
+      agent=ag)
+  ctrl, extra = policy(CFG, maps, scene, state2, jax.random.key(1))
+  assert abs(float(ctrl.throttle[0]) - CFG.expert.creep_throttle) < 1e-6
+  assert float(ctrl.brake[0]) == 0.0
+  assert float(ctrl.brake[1]) == 1.0
+  # the obstructed creep stays armed for when the box clears
+  assert int(extra["agent"].force_move[1]) == CFG.expert.creep_duration
+  # the clear-side creep consumed one frame
+  assert int(extra["agent"].stuck_count[0]) == 0
+
+
 def test_kendall_weights_and_schedule():
   """Kendall learned loss weighting + multistep LR schedule train and
   reduce the loss (train.py:384-456, :588-598 wiring)."""
