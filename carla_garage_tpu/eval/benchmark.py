@@ -163,7 +163,12 @@ def run_carla_benchmark(cfg: GlobalConfig = None, benchmark: str = "longest6",
 
   single_batch=True runs ALL towns' routes as ONE mixed-town batch — one
   compile, one lax.scan for the whole benchmark (the maximal contrast to
-  the reference's 108 SLURM jobs). Needs HBM for the stacked rasters.
+  the reference's 108 SLURM jobs). Needs HBM for the stacked rasters:
+  with the OBJECT-LEVEL policies this is the fastest mode; with the
+  full-spec SENSOR policy the 6 stacked full-town rasters (~1.3 GB) plus
+  B=36 render workspaces faulted the v5e device (measured r4) — use the
+  default per-town mode for sensor agents (each town's program is
+  compiled once and cached; Longest6 full-spec runs at ~3-6 min/town).
 
   analysis_dir records decimated trajectories and writes the result
   parser's artifacts there: per-town infraction maps + replay clips
