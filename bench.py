@@ -9,7 +9,7 @@ sensor-on rates (BASELINE config 3), each labeled with exactly what it
 measures:
 
   sensor_on_reduced: regnety_micro policy, 256x64 camera, 4x-decimated
-      LiDAR, B=64 — the fast operating point used for quick training
+      LiDAR, B=128 — the fast operating point used for quick training
       loops (scripts/train_transfuser.py --micro).
   sensor_on_full: regnety_032 (120M params, bf16 forward), 1024x256
       camera FOV 110, full 600k pts/s LiDAR, B=16 — the REFERENCE sensor
@@ -63,7 +63,7 @@ def measure_sensor_on(full_spec: bool):
   forward + control, all inside the jitted step.
 
   full_spec=False: the reduced config (regnety_micro, 256x64 camera,
-  4x-decimated LiDAR, B=64). full_spec=True: the reference sensor spec
+  4x-decimated LiDAR, B=128). full_spec=True: the reference sensor spec
   (regnety_032 @ 1024x256 camera + undecimated 600k pts/s LiDAR, bf16
   forward, B=16)."""
   from carla_garage_tpu.agents.sensor_agent import (make_transfuser_policy,
@@ -77,7 +77,7 @@ def measure_sensor_on(full_spec: bool):
     cam_scale, lid_dec, B, ticks = 1, 1, 16, 20
     tcfg = TransfuserConfig()
   else:
-    cam_scale, lid_dec, B, ticks = 4, 4, 64, 50
+    cam_scale, lid_dec, B, ticks = 4, 4, 128, 50
     tcfg = TransfuserConfig(
         image_arch="regnety_micro", lidar_arch="regnety_micro",
         img_h=256 // cam_scale, img_w=1024 // cam_scale,
@@ -250,7 +250,7 @@ def main():
       "value": round(obj_rate, 1),
       "unit": "env_steps/s/chip (object-level sim, expert policy; "
               "sensor_on_reduced = regnety_micro @256x64 cam + LiDAR/4, "
-              "B=64; sensor_on_full = regnety_032 @1024x256 cam + full "
+              "B=128; sensor_on_full = regnety_032 @1024x256 cam + full "
               "600k pts/s LiDAR, bf16, B=16 — the reference sensor spec)",
       "vs_baseline": round(obj_rate / TARGET_STEPS_PER_SEC, 4),
       "sensor_on_steps_per_sec": payload.get("sensor_on_reduced_steps_per_sec"),
