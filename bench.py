@@ -41,6 +41,11 @@ from carla_garage_tpu.sim.scene_builder import make_synthetic_batch
 BATCH = 256
 TICKS = 200
 TARGET_STEPS_PER_SEC = 10_000.0
+# shared operating points: the stage profile MUST measure the same batch
+# the benchmark publishes (the r4 profile silently ran B=64 while the
+# benchmark moved to B=128)
+REDUCED_B = 128
+FULL_B = 16
 
 
 def measure_object_level():
@@ -74,10 +79,10 @@ def measure_sensor_on(full_spec: bool):
   from carla_garage_tpu.sensors.lidar import lidar_ray_grid
 
   if full_spec:
-    cam_scale, lid_dec, B, ticks = 1, 1, 16, 20
+    cam_scale, lid_dec, B, ticks = 1, 1, FULL_B, 20
     tcfg = TransfuserConfig()
   else:
-    cam_scale, lid_dec, B, ticks = 4, 4, 128, 50
+    cam_scale, lid_dec, B, ticks = 4, 4, REDUCED_B, 50
     tcfg = TransfuserConfig(
         image_arch="regnety_micro", lidar_arch="regnety_micro",
         img_h=256 // cam_scale, img_w=1024 // cam_scale,
@@ -134,10 +139,10 @@ def profile_sensor_stages(full_spec: bool):
   from carla_garage_tpu.sensors.voxelize import voxelize_matmul
 
   if full_spec:
-    cam_scale, lid_dec, B = 1, 1, 16
+    cam_scale, lid_dec, B = 1, 1, FULL_B
     tcfg = TransfuserConfig()
   else:
-    cam_scale, lid_dec, B = 4, 4, 64
+    cam_scale, lid_dec, B = 4, 4, REDUCED_B
     tcfg = TransfuserConfig(
         image_arch="regnety_micro", lidar_arch="regnety_micro",
         img_h=256 // cam_scale, img_w=1024 // cam_scale,

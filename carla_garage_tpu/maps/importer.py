@@ -65,6 +65,10 @@ def assets_available(root: str = DEFAULT_ASSETS) -> bool:
 
 _TOWN_CACHE: dict = {}
 
+# bump when lane_graph recovery / ImportedTown layout changes — stale
+# pickles must not survive algorithm changes
+TOWN_CACHE_VERSION = 2
+
 
 def load_town(name: str, root: str = DEFAULT_ASSETS,
               rng_seed: int = 0) -> ImportedTown:
@@ -77,10 +81,18 @@ def load_town(name: str, root: str = DEFAULT_ASSETS,
   key = (name, root, rng_seed)
   if key in _TOWN_CACHE:
     return _TOWN_CACHE[key]
+  import hashlib
   import pickle
-  cache_dir = os.environ.get("CGT_TOWN_CACHE", "/tmp/cgt_town_cache")
+  # user-owned cache dir (never a world-writable /tmp path — pickle.load
+  # of a plantable file is arbitrary code execution); the filename keys
+  # the asset root and a version stamp so two roots can't collide and a
+  # lane-graph algorithm change invalidates stale entries
+  cache_dir = os.environ.get(
+      "CGT_TOWN_CACHE", os.path.expanduser("~/.cache/cgt_town_cache"))
   os.makedirs(cache_dir, exist_ok=True)
-  disk = os.path.join(cache_dir, f"{name}_{rng_seed}.pkl")
+  root_tag = hashlib.sha1(os.path.abspath(root).encode()).hexdigest()[:8]
+  disk = os.path.join(
+      cache_dir, f"{name}_{rng_seed}_{root_tag}_v{TOWN_CACHE_VERSION}.pkl")
   if os.path.exists(disk):
     try:
       with open(disk, "rb") as f:

@@ -50,7 +50,10 @@ def make_norm(norm: str, width: int, name: str):
   g = min(32, width)
   while width % g:
     g -= 1
-  return nn.GroupNorm(num_groups=g, name=name)
+  # layout-preserving GroupNorm: flax's group reshape was ~70% of the
+  # full-spec forward's device time (ops/norm.py docstring, r4 XProf)
+  from carla_garage_tpu.ops.norm import TpuGroupNorm
+  return TpuGroupNorm(num_groups=g, name=name)
 
 
 class SqueezeExcite(nn.Module):

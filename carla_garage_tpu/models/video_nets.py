@@ -14,6 +14,8 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+
+from carla_garage_tpu.ops.norm import TpuGroupNorm
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,10 +33,10 @@ class R2Plus1DBlock(nn.Module):
     h = nn.Conv(self.width, (1, 3, 3),
                 strides=(1, self.spatial_stride, self.spatial_stride),
                 use_bias=False, name="spatial")(x)
-    h = nn.GroupNorm(num_groups=min(32, self.width), name="norm1")(h)
+    h = TpuGroupNorm(num_groups=min(32, self.width), name="norm1")(h)
     h = nn.relu(h)
     h = nn.Conv(self.width, (3, 1, 1), use_bias=False, name="temporal")(h)
-    h = nn.GroupNorm(num_groups=min(32, self.width), name="norm2")(h)
+    h = TpuGroupNorm(num_groups=min(32, self.width), name="norm2")(h)
     if self.spatial_stride != 1 or w_in != self.width:
       x = nn.Conv(self.width, (1, 1, 1),
                   strides=(1, self.spatial_stride, self.spatial_stride),
@@ -52,7 +54,7 @@ class VideoResNet(nn.Module):
     """x [B,T,H,W,C] -> tuple of 4 maps [B,H/s,W/s,width]."""
     h = nn.Conv(self.widths[0], (1, 3, 3), strides=(1, 2, 2),
                 use_bias=False, name="stem")(x)
-    h = nn.relu(nn.GroupNorm(num_groups=min(32, self.widths[0]),
+    h = nn.relu(TpuGroupNorm(num_groups=min(32, self.widths[0]),
                              name="stem_norm")(h))
     feats = []
     for i, w in enumerate(self.widths):

@@ -113,14 +113,20 @@ def _gather_boxes(cfg: GlobalConfig, scene: Scene, state: SimState):
 
 
 def cull_boxes(boxes: jnp.ndarray, ego_pos: jnp.ndarray,
-               max_boxes: int = 48, max_range: float = MAX_DEPTH
-               ) -> jnp.ndarray:
+               max_boxes: int = 48, max_range: float = MAX_DEPTH,
+               light_slots: int = 8) -> jnp.ndarray:
   """Keep the max_boxes nearest valid boxes per episode (ego-centric).
 
   Sensor cost scales with rays x boxes; at honest traffic density (100+
   town-wide NPCs) most boxes are beyond sensor range or sub-pixel. Culling
   to the nearest K makes the render cost independent of town NPC count.
-  Boxes beyond max_range (+15 m slack for extents) are invalidated."""
+  Boxes beyond max_range (+15 m slack for extents) are invalidated.
+
+  light_slots of the budget are RESERVED for traffic-light poles: at
+  100-500 NPC density a dense junction's 100 vehicles would otherwise
+  out-compete the nearby light pole for slots, deleting exactly the
+  red/green RGB cue red-light compliance needs. Lights and dynamic actors
+  are culled in separate top-k pools."""
   import jax as _jax
   K = boxes.shape[1]
   if K <= max_boxes:
@@ -128,12 +134,21 @@ def cull_boxes(boxes: jnp.ndarray, ego_pos: jnp.ndarray,
   d2 = (boxes[..., 0] - ego_pos[:, 0:1]) ** 2 + \
        (boxes[..., 1] - ego_pos[:, 1:2]) ** 2
   d2 = jnp.where(boxes[..., 8] > 0, d2, jnp.inf)
-  _, idx = _jax.lax.top_k(-d2, max_boxes)
-  sel = jnp.take_along_axis(boxes, idx[..., None], 1)
-  sel_d2 = jnp.take_along_axis(d2, idx, 1)
+  cls = boxes[..., 7]
+  is_light = (cls == Sem.LIGHT) | (cls >= Sem.LIGHT_GREEN)
   lim = (max_range + 15.0) ** 2
-  return sel.at[..., 8].set(
-      jnp.where(sel_d2 <= lim, sel[..., 8], 0.0))
+
+  def pool(mask, k):
+    dd = jnp.where(mask, d2, jnp.inf)
+    _, idx = _jax.lax.top_k(-dd, k)
+    sel = jnp.take_along_axis(boxes, idx[..., None], 1)
+    sel_d2 = jnp.take_along_axis(dd, idx, 1)
+    return sel.at[..., 8].set(
+        jnp.where(sel_d2 <= lim, sel[..., 8], 0.0))
+
+  return jnp.concatenate(
+      [pool(~is_light, max_boxes - light_slots),
+       pool(is_light, light_slots)], axis=1)
 
 
 def cast_rays(cfg: GlobalConfig, maps: MapStack, scene: Scene,

@@ -533,7 +533,7 @@ def _padded_town(town, pad_hw):
   route compiler's per-raster snap indices are built once per town."""
   key = (id(town.raster), pad_hw)
   if key in _PAD_CACHE:
-    return _PAD_CACHE[key]
+    return _PAD_CACHE[key][1]
   C, H, W = town.raster.shape
   Ht, Wt = pad_hw
   assert Ht >= H and Wt >= W, f"pad_hw {pad_hw} smaller than raster {(H, W)}"
@@ -543,7 +543,10 @@ def _padded_town(town, pad_hw):
     r = np.zeros((C, Ht, Wt), town.raster.dtype)
     r[:, :H, :W] = town.raster
     padded = dataclasses.replace(town, raster=r)
-  _PAD_CACHE[key] = padded
+  # the cached entry keeps the KEYING raster alive: id() keys are only
+  # unique while the object lives, so a GC'd raster could otherwise alias
+  # a new array at the same address onto a stale padded copy
+  _PAD_CACHE[key] = (town.raster, padded)
   return padded
 
 
@@ -586,7 +589,8 @@ def make_town_batch(cfg: GlobalConfig, town_name: str, batch: int = 4,
                     min_route_m: float = 250.0, max_route_m: float = 500.0,
                     pad_hw: tuple | None = None, assets_root: str = None,
                     crop_hw: tuple | None = None,
-                    crop_margin_m: float = 130.0):
+                    crop_margin_m: float = 130.0,
+                    use_scenarios: bool = False):
   """Real-town analog of make_synthetic_batch: random lane-graph routes on
   an imported CARLA town (Town01-06) — the datagen diversity the reference
   gets from generate_dataset_slurm's per-town route files. town_name
@@ -600,6 +604,7 @@ def make_town_batch(cfg: GlobalConfig, town_name: str, batch: int = 4,
     town = make_town(seed=t_seed)
     is_conn = None
   else:
+    t_seed = None                     # imported towns are seed-independent
     imported = importer.load_town(
         town_name, assets_root or importer.DEFAULT_ASSETS)
     town = importer.as_synthetic_town(imported)
@@ -655,21 +660,40 @@ def make_town_batch(cfg: GlobalConfig, town_name: str, batch: int = 4,
     eps.append(ep)
   if crop_hw is not None:
     town = crop_town_to_routes(town, eps, crop_hw, margin_m=margin_m)
+  walker_sites = scenario_npcs = specs = scen_state = None
+  if use_scenarios:
+    # attach all 7 scenario types to the datagen routes, exactly as the
+    # honest benchmark does (eval/benchmark.py _scenario_setup) — without
+    # this, training data never contains crossing walkers / cut-ins and
+    # the learned policy meets them for the first time at eval
+    from carla_garage_tpu.sim.scenario_wiring import \
+        build_benchmark_scenarios
+    ann = {} if town_name.startswith("synth") else importer.load_scenarios(
+        town_name, assets_root or importer.DEFAULT_ASSETS)
+    walker_sites, specs, scen_state, scenario_npcs = \
+        build_benchmark_scenarios(cfg, town, eps, ann, seed)
   maps, lanes, scene, state = build_batch(
       cfg, town, eps, seed=seed, n_vehicles=n_vehicles,
-      n_walkers=n_walkers)
+      n_walkers=n_walkers, walker_sites=walker_sites,
+      scenario_npcs=scenario_npcs)
+  if use_scenarios:
+    scene = scene.replace(scenarios=specs)
+    state = state.replace(scenario=scen_state)
   # device-side raster/lane-graph dedup: every dataset shard on the same
   # town reuses ONE HBM allocation (a padded Town06 stack is ~220 MB —
   # without this, 12 shards would hold 12 copies). Crops are per-batch
   # windows, so only lanes (town-wide, crop-independent) dedup there.
-  key = ("devcache", town_name, pad_hw)
+  # 'synth' geometry depends on the effective town seed — a seedless key
+  # would silently substitute another seed's maps under this batch's
+  # routes (corrupted training data)
+  key = ("devcache", town_name, t_seed, pad_hw)
   if crop_hw is None:
     if key in _PAD_CACHE:
       maps, lanes = _PAD_CACHE[key]
     else:
       _PAD_CACHE[key] = (maps, lanes)
   else:
-    lkey = ("devcache_lanes", town_name)
+    lkey = ("devcache_lanes", town_name, t_seed)
     if lkey in _PAD_CACHE:
       lanes = _PAD_CACHE[lkey]
     else:

@@ -513,6 +513,10 @@ def train_transfuser(cfg: GlobalConfig, tcfg: TransfuserConfig, maps, scene,
       aux = eval_fn(params, jnp.asarray(val_idx[j:j + 2], jnp.int32), sub,
                     maps, scene, frames)
       for k, v in aux.items():
+        # non-scalar diagnostics (e.g. the [4,4] speed-class confusion
+        # matrix) are accumulated by offline_diagnosis, not here
+        if hasattr(v, "ndim") and v.ndim != 0:
+          continue
         sums[k] = sums.get(k, 0.0) + float(v)
       n += 1
     history[-1].update(

@@ -1,0 +1,51 @@
+"""TpuGroupNorm must be a drop-in numerical match for flax nn.GroupNorm
+(same param names, same eps, same stats) — it exists purely to remove the
+5-D group-reshape layout copies that dominated the r4 full-spec forward
+(ops/norm.py docstring)."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import pytest
+
+from carla_garage_tpu.ops.norm import TpuGroupNorm
+
+
+@pytest.mark.parametrize("shape,groups", [
+    ((2, 8, 16, 72), 24),        # regnety_032 stage-0 width
+    ((2, 4, 8, 8, 32), 32),      # 5-D video-net input
+    ((3, 5, 7, 16), 16),         # groups == channels (InstanceNorm-like)
+])
+def test_matches_flax_groupnorm(shape, groups):
+  x = jax.random.normal(jax.random.key(0), shape) * 3.0 + 1.5
+  ref = nn.GroupNorm(num_groups=groups)
+  new = TpuGroupNorm(num_groups=groups)
+  params = jax.tree.map(lambda a: a + 0.3, ref.init(jax.random.key(1), x))
+  y_ref = ref.apply(params, x)
+  y_new = new.apply(params, x)        # identical param tree
+  assert float(jnp.abs(y_ref - y_new).max()) < 1e-5
+
+
+def test_bf16_stats_in_f32():
+  """bf16 activations: stats run in f32, output returns bf16."""
+  x = (jax.random.normal(jax.random.key(2), (2, 16, 16, 64)) * 2
+       ).astype(jnp.bfloat16)
+  m = TpuGroupNorm(num_groups=16)
+  params = m.init(jax.random.key(3), x)
+  y = m.apply(params, x)
+  assert y.dtype == jnp.bfloat16
+  ref = nn.GroupNorm(num_groups=16).apply(params, x)
+  assert float(jnp.abs(y.astype(jnp.float32) -
+                       ref.astype(jnp.float32)).max()) < 1e-2
+
+
+def test_grad_flows():
+  x = jax.random.normal(jax.random.key(4), (2, 8, 8, 32))
+  m = TpuGroupNorm(num_groups=8)
+  params = m.init(jax.random.key(5), x)
+
+  def loss(p, x_):
+    return jnp.sum(m.apply(p, x_) ** 2)
+
+  g = jax.grad(loss)(params, x)
+  assert all(jnp.all(jnp.isfinite(v)) for v in jax.tree.leaves(g))
