@@ -83,7 +83,8 @@ def build_dataset(args, seed: int, collect=None, town_name: str = "synth",
   town, maps, lanes, scene, state = make_town_batch(
       CFG, town_name, batch=args.episodes, seed=seed, n_vehicles=n_veh,
       n_walkers=2, pad_hw=pad_hw, crop_hw=crop_hw, crop_margin_m=args.crop_margin_m,
-      min_route_m=args.min_route_m, max_route_m=args.max_route_m)
+      min_route_m=args.min_route_m, max_route_m=args.max_route_m,
+      use_scenarios=not args.no_scenarios)
   # chunked datagen: ONE compiled fixed-length collect reused across
   # chunks and datasets (long-scan programs stall the remote XLA compiler;
   # chunk length keeps compile time flat — rollout_chunked's recipe)
@@ -145,7 +146,8 @@ def build_dagger_dataset(args, tcfg, model, params, cam_grid, lid_f, lid_r,
   town, maps, lanes, scene, state = make_town_batch(
       CFG, town_name, batch=args.episodes, seed=seed, n_vehicles=n_veh,
       n_walkers=2, pad_hw=pad_hw, crop_hw=crop_hw, crop_margin_m=args.crop_margin_m,
-      min_route_m=args.min_route_m, max_route_m=args.max_route_m)
+      min_route_m=args.min_route_m, max_route_m=args.max_route_m,
+      use_scenarios=not args.no_scenarios)
   n_lidar = lid_f.shape[0] * lid_f.shape[1]
   policy = make_transfuser_policy(model, None, tcfg, cam_grid, lid_f, lid_r,
                                   direct=True, bf16=True,
@@ -194,9 +196,16 @@ def closed_loop_eval(args, tcfg, model, params, cam_grid, lid_f, lid_r,
                      town_name: str = "synth", pad_hw=None, crop_hw=None):
   """brake_threshold=0.33 is the reference's published Longest6 operating
   point (UNCERTAINTY_THRESHOLD=0.33, README.md:82-84). town_name picks the
-  eval world (real imported towns included)."""
+  eval world (real imported towns included).
+
+  Eval worlds run at the HONEST benchmark density (100 NPCs + scenarios,
+  args.eval_n_vehicles): the r4 suite evaluated at n_vehicles=8 and
+  selected a checkpoint whose honest-benchmark DS was 14x lower
+  (VERDICT r4 Weak #2) — the suite must BE the benchmark config."""
   town, maps, lanes, scene, state = make_town_batch(
-      CFG, town_name, batch=n_routes, seed=seed, n_vehicles=8, n_walkers=2,
+      CFG, town_name, batch=n_routes, seed=seed,
+      n_vehicles=args.eval_n_vehicles, n_walkers=2,
+      use_scenarios=not args.no_scenarios,
       pad_hw=pad_hw, crop_hw=crop_hw, crop_margin_m=args.crop_margin_m)
   route_lens = jnp.asarray([
       float(np.asarray(scene.route.seg_len)[i][
@@ -296,7 +305,7 @@ def main():
                        "trains at 64, config.py:171-173)")
   ap.add_argument("--towns", nargs="+",
                   default=["Town01", "Town02", "Town03", "Town04",
-                           "Town05", "Town06", "synth", "synth1"],
+                           "Town05", "Town06"],
                   help="datagen worlds, cycled across --datasets shards: "
                        "imported real benchmark towns and/or procedural "
                        "'synth'/'synthN' grids")
@@ -324,8 +333,18 @@ def main():
                   help="datagen route length bounds; match to --frames "
                        "(a 500-frame episode covers ~125 s of driving)")
   ap.add_argument("--max-route-m", type=float, default=500.0)
-  ap.add_argument("--min-vehicles", type=int, default=6)
-  ap.add_argument("--max-vehicles", type=int, default=16)
+  ap.add_argument("--min-vehicles", type=int, default=80,
+                  help="datagen NPC range — HONEST density (the honest "
+                       "benchmark runs 100; r4 trained at 6-16 and "
+                       "collapsed 25.7 -> 1.8 DS at eval density)")
+  ap.add_argument("--max-vehicles", type=int, default=120)
+  ap.add_argument("--eval-n-vehicles", type=int, default=100,
+                  help="closed-loop eval NPC count (honest benchmark "
+                       "density)")
+  ap.add_argument("--no-scenarios", action="store_true",
+                  help="disable the 7 scenario types in datagen+eval "
+                       "worlds (they are ON by default, matching the "
+                       "honest benchmark)")
   ap.add_argument("--lr", type=float, default=3e-4)
   ap.add_argument("--micro", action="store_true")
   ap.add_argument("--no-bf16", action="store_true")
@@ -348,6 +367,13 @@ def main():
                        "gate; exits non-zero below it)")
   ap.add_argument("--results", default="results/transfuser_synth_eval.json")
   args = ap.parse_args()
+
+  # vehicle slot capacity must fit the honest density everywhere (datagen,
+  # eval worlds); one global config keeps every compiled program's shapes
+  # consistent
+  global CFG
+  cap = max(args.max_vehicles, args.eval_n_vehicles, CFG.sim.max_vehicles)
+  CFG = CFG.replace(sim=dataclasses.replace(CFG.sim, max_vehicles=cap))
 
   tcfg = model_config(args)
   cam_scale = 4 if args.micro else 1
@@ -483,7 +509,7 @@ def main():
             f"({h['wall_s']:.0f}s)", flush=True)
     if args.eval_every and (i + 1) % args.eval_every == 0:
       ev = eval_suite(args, tcfg, model, params, cam_grid, lid_front,
-                      lid_rear, args.eval_towns, [321], args.eval_routes,
+                      lid_rear, args.eval_towns, [321, 654], args.eval_routes,
                       pad_hw=pad_hw, crop_hw=crop_hw,
                       brake_threshold=args.eval_brake_threshold)
       ev["diagnosis"] = offline_diagnosis(tcfg, model, params, eval_fn,
@@ -540,7 +566,7 @@ def main():
         print(f"dagger {r} step {i}: loss {float(aux['loss']):.3f}",
               flush=True)
     ev = eval_suite(args, tcfg, model, params, cam_grid, lid_front,
-                    lid_rear, args.eval_towns, [321], args.eval_routes,
+                    lid_rear, args.eval_towns, [321, 654], args.eval_routes,
                     pad_hw=pad_hw, crop_hw=crop_hw,
                     brake_threshold=args.eval_brake_threshold)
     ev["diagnosis"] = offline_diagnosis(tcfg, model, params, eval_fn,

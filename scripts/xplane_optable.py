@@ -1,0 +1,108 @@
+"""Extract an op-level time table from a committed XProf trace.
+
+The r3/r4 stage profiles timed each sensor stage as an isolated jitted
+call, leaving the in-scan attribution inferred (VERDICT r4 Weak #3). This
+reads the trace.json.gz that `bench.py --profile` writes alongside the
+xplane.pb and aggregates ACTUAL device-lane op durations — what fraction
+of the in-scan step is convolution (MXU), normalization stats, layout
+copies, raycast kernels, gathers, etc.
+
+Usage:
+  python scripts/xplane_optable.py results/trace_sensor_on_full \
+      [--out results/optable_full.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+
+
+CATEGORIES = (
+    # (label, regex over the op name)
+    ("conv (MXU)", r"^convolution"),
+    ("raycast kernel", r"^raycast"),
+    ("bev_fill kernel", r"^bev_fill"),
+    ("groupnorm stats", r"^convert_reduce_fusion"),
+    ("layout copy", r"^copy"),
+    ("reduce", r"^(reduce|multiply_reduce|select_reduce|sqrt_reduce)"),
+    ("dynamic-update", r"dynamic-update-slice"),
+    ("reshape/bitcast", r"^(reshape|bitcast|broadcast)"),
+    ("while/control", r"^while"),
+    ("custom-call", r"^custom-call"),
+    ("fusion (elementwise/gather)", r"^[a-z_]*fusion"),
+)
+
+
+def load_ops(trace_dir: str):
+  paths = glob.glob(os.path.join(trace_dir, "plugins/profile/*/"
+                                 "*.trace.json.gz"))
+  if not paths:
+    raise FileNotFoundError(f"no trace.json.gz under {trace_dir}")
+  with gzip.open(sorted(paths)[-1]) as f:
+    data = json.load(f)
+  ev = data["traceEvents"]
+  tids = {}
+  for e in ev:
+    if e.get("ph") == "M" and e.get("name") == "thread_name":
+      tids[(e["pid"], e["tid"])] = e["args"].get("name", "")
+  ops = [e for e in ev if e.get("ph") == "X" and
+         tids.get((e.get("pid"), e.get("tid"))) == "XLA Ops"]
+  mods = [e for e in ev if e.get("ph") == "X" and
+          tids.get((e.get("pid"), e.get("tid"))) == "XLA Modules"]
+  return ops, mods
+
+
+def optable(trace_dir: str, top_n: int = 20):
+  ops, mods = load_ops(trace_dir)
+  n_mod = max(len(mods), 1)
+  cat = collections.Counter()
+  for e in ops:
+    name = e["name"]
+    for label, pat in CATEGORIES:
+      if re.match(pat, name):
+        cat[label] += e["dur"]
+        break
+    else:
+      cat["other"] += e["dur"]
+  total = sum(cat.values())
+  agg = collections.Counter()
+  for e in ops:
+    agg[e["name"]] += e["dur"]
+  table = {
+      "trace": trace_dir,
+      "module_execs": len(mods),
+      "device_ms_per_exec": round(total / n_mod / 1e3, 3),
+      "categories_pct": {k: round(100.0 * v / max(total, 1), 2)
+                         for k, v in cat.most_common()},
+      "categories_ms_per_exec": {k: round(v / n_mod / 1e3, 3)
+                                 for k, v in cat.most_common()},
+      "top_ops_ms_per_exec": [
+          {"op": k, "ms": round(v / n_mod / 1e3, 3)}
+          for k, v in agg.most_common(top_n)],
+  }
+  return table
+
+
+def main():
+  ap = argparse.ArgumentParser()
+  ap.add_argument("trace_dirs", nargs="+")
+  ap.add_argument("--out", default=None)
+  args = ap.parse_args()
+  tables = [optable(d) for d in args.trace_dirs]
+  out = tables[0] if len(tables) == 1 else tables
+  text = json.dumps(out, indent=1)
+  print(text)
+  if args.out:
+    with open(args.out, "w") as f:
+      f.write(text + "\n")
+
+
+if __name__ == "__main__":
+  main()

@@ -116,26 +116,46 @@ def test_light_render_class_map():
 
 
 def test_cull_boxes_keeps_nearest():
-  B, K = 2, 80
+  """Per-class top-k: dynamic actors fill max_boxes - light_slots nearest
+  slots; lights keep their own reserved pool so a dense junction's
+  vehicles can't cull the red/green cue (r4 advisor finding)."""
+  from carla_garage_tpu.sensors.raycast import Sem
+  B, K, M, LS = 2, 80, 16, 4
   rng = np.random.default_rng(0)
   boxes = np.zeros((B, K, 9), np.float32)
   boxes[..., 0] = rng.uniform(-200, 200, (B, K))
   boxes[..., 1] = rng.uniform(-200, 200, (B, K))
   boxes[..., 2] = 1.0
+  boxes[..., 7] = Sem.VEHICLE
   boxes[..., 8] = 1.0
   boxes[0, 5, 8] = 0.0                     # one invalid box near origin
   boxes[0, 5, 0:2] = 0.0
+  # two traffic lights at ~60 m — farther than dozens of vehicles, but
+  # they must survive the cull via the reserved light slots
+  boxes[:, 70, :2] = (60.0, 0.0)
+  boxes[:, 70, 7] = Sem.LIGHT
+  boxes[:, 71, :2] = (0.0, 62.0)
+  boxes[:, 71, 7] = Sem.LIGHT_GREEN
   ego = np.zeros((B, 2), np.float32)
   out = np.asarray(cull_boxes(jnp.asarray(boxes), jnp.asarray(ego),
-                              max_boxes=16, max_range=100.0))
-  assert out.shape == (B, 16, 9)
+                              max_boxes=M, max_range=100.0,
+                              light_slots=LS))
+  assert out.shape == (B, M, 9)
   d_in = np.hypot(boxes[..., 0], boxes[..., 1])
   d_in[boxes[..., 8] == 0] = np.inf
+  is_light_in = (boxes[..., 7] == Sem.LIGHT) | \
+      (boxes[..., 7] >= Sem.LIGHT_GREEN)
   d_out = np.hypot(out[..., 0], out[..., 1])
+  actors, lights = out[:, :M - LS], out[:, M - LS:]
   for b in range(B):
-    # the kept set IS the 16 nearest valid boxes
-    want = np.sort(d_in[b])[:16]
-    np.testing.assert_allclose(np.sort(d_out[b]), want, rtol=1e-5)
+    # actor slots = the M-LS nearest valid non-light boxes
+    want = np.sort(d_in[b][~is_light_in[b]])[:M - LS]
+    got = np.sort(np.hypot(actors[b, :, 0], actors[b, :, 1]))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # both lights kept in the reserved slots, still valid
+    lv = lights[b][lights[b, :, 8] > 0]
+    assert len(lv) == 2
+    assert set(np.round(np.hypot(lv[:, 0], lv[:, 1]))) == {60.0, 62.0}
     # validity dropped beyond max_range (+slack)
     far = d_out[b] > 115.0
     assert np.all(out[b, far, 8] == 0.0)
