@@ -57,6 +57,12 @@ class PlantDataset:
   speed_label: np.ndarray    # [N]
   ckpt_label: np.ndarray     # [N,R,2]
   forecast_label: np.ndarray  # [N,O,7] int32 (IGNORE_INDEX = no label)
+  # per-sample waypoint-loss weight (None = all ones). DAgger frames carry
+  # 0: their recorded trajectory is the POLICY's own, so the future-ego
+  # waypoint label is wrong at exactly the mistake states DAgger exists to
+  # correct; the route-relative labels (speed class, checkpoint, forecast)
+  # stay valid (datagen.collect_dagger_frames docstring).
+  wp_weight: np.ndarray | None = None
 
   def __len__(self):
     return len(self.boxes)
@@ -64,7 +70,7 @@ class PlantDataset:
 
 BATCH_KEYS = ("boxes", "box_types", "route", "light", "stop", "junction",
               "velocity", "target_point", "wp_label", "speed_label",
-              "ckpt_label", "forecast_label")
+              "ckpt_label", "forecast_label", "wp_weight")
 
 
 def quantize_attrs(cfg: GlobalConfig, pcfg: PlanTConfig,
@@ -232,8 +238,12 @@ def plant_loss(model: PlanT, params, batch, rng=None, log_vars=None):
   unit weights to Kendall learned multi-task weighting
   (train.py:384-456 learn_multi_task_weights)."""
   out = _apply(model, params, batch)
+  wp_err = jnp.mean(jnp.abs(out["pred_wp"] - batch["wp_label"]), (1, 2))
+  ww = batch.get("wp_weight")
+  wp_loss = jnp.mean(wp_err) if ww is None else \
+      jnp.sum(wp_err * ww) / jnp.maximum(jnp.sum(ww), 1.0)
   losses = {
-      "wp": jnp.mean(jnp.abs(out["pred_wp"] - batch["wp_label"])),
+      "wp": wp_loss,
       "speed": cross_entropy(out["pred_target_speed"], batch["speed_label"],
                              weights=SPEED_WEIGHTS, label_smoothing=0.1),
       "ckpt": jnp.mean(jnp.abs(out["pred_checkpoint"] -
@@ -298,7 +308,8 @@ def iterate_minibatches(ds: PlantDataset, batch_size: int,
     order = rng.permutation(n)
     for i in range(0, n - batch_size + 1, batch_size):
       sel = order[i:i + batch_size]
-      batch = {k: getattr(ds, k)[sel] for k in BATCH_KEYS}
+      batch = {k: getattr(ds, k)[sel] for k in BATCH_KEYS
+               if getattr(ds, k) is not None}
       if velocity_dropout > 0:
         drop = rng.random(batch_size) < velocity_dropout
         batch["velocity"] = np.where(drop, 0.0, batch["velocity"])
@@ -316,7 +327,8 @@ def relabel_with_plant(model: PlanT, params, ds: PlantDataset,
   sp = np.array(ds.speed_label)
   for i in range(0, n, batch_size):
     sl = slice(i, i + batch_size)
-    out = apply({k: getattr(ds, k)[sl] for k in BATCH_KEYS})
+    out = apply({k: getattr(ds, k)[sl] for k in BATCH_KEYS
+                 if getattr(ds, k) is not None})
     wp[sl] = np.asarray(out["pred_wp"])[:, :wp.shape[1]]
     sp[sl] = np.asarray(jnp.argmax(out["pred_target_speed"], -1))
   return dataclasses.replace(ds, wp_label=wp, speed_label=sp)
@@ -352,9 +364,13 @@ def _split_dataset(ds: PlantDataset, val_fraction: float):
     return ds, None
   sl_t, sl_v = slice(0, len(ds) - n_val), slice(len(ds) - n_val, len(ds))
   f = dataclasses.fields(PlantDataset)
-  train = PlantDataset(**{x.name: getattr(ds, x.name)[sl_t] for x in f})
-  val = PlantDataset(**{x.name: getattr(ds, x.name)[sl_v] for x in f})
-  return train, val
+
+  def take(sl):
+    return PlantDataset(**{
+        x.name: (getattr(ds, x.name)[sl]
+                 if getattr(ds, x.name) is not None else None)
+        for x in f})
+  return take(sl_t), take(sl_v)
 
 
 def train_plant(cfg: GlobalConfig, pcfg: PlanTConfig, ds: PlantDataset,

@@ -94,8 +94,16 @@ def datagen_shard(cfg, pcfg, args, town_name: str, seed: int):
 def concat_datasets(parts):
   out = parts[0]
   for extra in parts[1:]:
+    n_out, n_extra = len(out.boxes), len(extra.boxes)
     for f in out.__dataclass_fields__:
-      setattr(out, f, np.concatenate([getattr(out, f), getattr(extra, f)]))
+      a, b = getattr(out, f), getattr(extra, f)
+      if a is None and b is None:
+        continue
+      if a is None:
+        a = np.ones((n_out,), np.float32)
+      if b is None:
+        b = np.ones((n_extra,), np.float32)
+      setattr(out, f, np.concatenate([a, b]))
   return out
 
 
