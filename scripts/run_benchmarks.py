@@ -67,6 +67,10 @@ def main():
                        "Longest6 op point, README.md:82-84)")
   ap.add_argument("--jpeg-quality", type=int, default=None)
   ap.add_argument("--max-ticks", type=int, default=60000)
+  ap.add_argument("--towns", nargs="+", default=None,
+                  help="restrict to these towns (per-town invocations are "
+                       "the fault-isolation protocol for the 500-NPC "
+                       "reference-density rows)")
   args = ap.parse_args()
 
   n_vehicles = args.n_vehicles if args.n_vehicles is not None else \
@@ -157,7 +161,7 @@ def main():
       kw = dict(policy=policy, policy_params=policy_params,
                 agent_reset=agent_reset)
     records, g = run_carla_benchmark(
-        cfg=cfg, benchmark=bench, reps=args.reps,
+        cfg=cfg, benchmark=bench, reps=args.reps, towns=args.towns,
         n_vehicles=n_vehicles, n_walkers=args.n_walkers,
         use_scenarios=not args.no_scenarios,
         single_batch=args.single_batch, seed=args.seed,
@@ -175,6 +179,7 @@ def main():
         "capacity": capacity, "seed": args.seed,
         "scenarios": not args.no_scenarios,
         "single_batch": args.single_batch,
+        "towns": args.towns,
         "wall_s": round(wall, 1),
         "cmdline": " ".join(sys.argv),
     }
