@@ -44,8 +44,8 @@ TARGET_STEPS_PER_SEC = 10_000.0
 # shared operating points: the stage profile MUST measure the same batch
 # the benchmark publishes (the r4 profile silently ran B=64 while the
 # benchmark moved to B=128)
-REDUCED_B = 128
-FULL_B = 16
+REDUCED_B = int(_os.environ.get("BENCH_REDUCED_B", 128))
+FULL_B = int(_os.environ.get("BENCH_FULL_B", 16))
 
 
 def measure_object_level():
@@ -255,8 +255,9 @@ def main():
       "value": round(obj_rate, 1),
       "unit": "env_steps/s/chip (object-level sim, expert policy; "
               "sensor_on_reduced = regnety_micro @256x64 cam + LiDAR/4, "
-              "B=128; sensor_on_full = regnety_032 @1024x256 cam + full "
-              "600k pts/s LiDAR, bf16, B=16 — the reference sensor spec)",
+              f"B={REDUCED_B}; sensor_on_full = regnety_032 @1024x256 cam "
+              f"+ full 600k pts/s LiDAR, bf16, B={FULL_B} — the reference "
+              "sensor spec)",
       "vs_baseline": round(obj_rate / TARGET_STEPS_PER_SEC, 4),
       "sensor_on_steps_per_sec": payload.get("sensor_on_reduced_steps_per_sec"),
       "sensor_on_vs_baseline": round(
