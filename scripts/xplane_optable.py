@@ -25,7 +25,11 @@ import sys
 
 
 CATEGORIES = (
-    # (label, regex over the op name)
+    # (label, regex over the op name) — fallback only; the trace's own
+    # hlo_category (when present in the event args) is authoritative.
+    # The r4 tables mislabeled `convert_reduce_fusion` convolution fusions
+    # as "groupnorm stats" via this name regex — the hlo_category path
+    # below can't make that mistake.
     ("conv (MXU)", r"^convolution"),
     ("raycast kernel", r"^raycast"),
     ("bev_fill kernel", r"^bev_fill"),
@@ -59,22 +63,43 @@ def load_ops(trace_dir: str):
   return ops, mods
 
 
+def categorize(e) -> str:
+  """Category for one op event: the trace's hlo_category when present
+  (authoritative — distinguishes convolution fusions from stat reduces),
+  name-regex fallback otherwise."""
+  args = e.get("args", {}) or {}
+  hc = args.get("hlo_category")
+  if hc:
+    return hc
+  name = e["name"]
+  for label, pat in CATEGORIES:
+    if re.match(pat, name):
+      return label
+  return "other"
+
+
 def optable(trace_dir: str, top_n: int = 20):
   ops, mods = load_ops(trace_dir)
   n_mod = max(len(mods), 1)
   cat = collections.Counter()
+  flops = collections.Counter()
   for e in ops:
-    name = e["name"]
-    for label, pat in CATEGORIES:
-      if re.match(pat, name):
-        cat[label] += e["dur"]
-        break
-    else:
-      cat["other"] += e["dur"]
+    c = categorize(e)
+    cat[c] += e["dur"]
+    flops[c] += int((e.get("args", {}) or {}).get("model_flops", 0) or 0)
   total = sum(cat.values())
   agg = collections.Counter()
+  srcs = {}
   for e in ops:
     agg[e["name"]] += e["dur"]
+    src = (e.get("args", {}) or {}).get("source")
+    if src and e["name"] not in srcs:
+      srcs[e["name"]] = src
+  # achieved TF/s per category (model_flops from the compiler's cost
+  # analysis over the measured device time) — the MFU attribution the
+  # r4 verdict asked for
+  tfs = {k: round(flops[k] / (cat[k] * 1e-6) / 1e12 / max(n_mod, 1), 2)
+         for k in cat if flops[k] > 0 and cat[k] > 0}
   table = {
       "trace": trace_dir,
       "module_execs": len(mods),
@@ -83,8 +108,10 @@ def optable(trace_dir: str, top_n: int = 20):
                          for k, v in cat.most_common()},
       "categories_ms_per_exec": {k: round(v / n_mod / 1e3, 3)
                                  for k, v in cat.most_common()},
+      "achieved_tf_per_s": tfs,
       "top_ops_ms_per_exec": [
-          {"op": k, "ms": round(v / n_mod / 1e3, 3)}
+          {"op": k, "ms": round(v / n_mod / 1e3, 3),
+           **({"source": srcs[k]} if k in srcs else {})}
           for k, v in agg.most_common(top_n)],
   }
   return table
