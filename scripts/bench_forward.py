@@ -85,10 +85,13 @@ def main():
     with jax.profiler.trace(args.profile):
       for _ in range(5):
         jax.block_until_ready(fwd(params, rgb, lid, tp, cmd, spd))
+  # Block every iteration: the axon dispatch stream runs ahead of the
+  # device, so an unsynchronized loop measures enqueue cost (~1 ms), not
+  # execution (~100 ms). Per-iter block costs one host round-trip, which
+  # is noise at this step size.
   t0 = time.time()
   for _ in range(args.iters):
-    out = fwd(params, rgb, lid, tp, cmd, spd)
-  jax.block_until_ready(out)
+    jax.block_until_ready(fwd(params, rgb, lid, tp, cmd, spd))
   dt = (time.time() - t0) / args.iters
 
   print(json.dumps({
