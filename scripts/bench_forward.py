@@ -83,15 +83,19 @@ def main():
     jax.block_until_ready(fwd(params, rgb, lid, tp, cmd, spd))
   if args.profile:
     with jax.profiler.trace(args.profile):
-      for _ in range(5):
-        jax.block_until_ready(fwd(params, rgb, lid, tp, cmd, spd))
+      for i in range(5):
+        jax.block_until_ready(fwd(params, rgb + i * 1e-6, lid, tp, cmd, spd))
   # Block every iteration: the axon dispatch stream runs ahead of the
   # device, so an unsynchronized loop measures enqueue cost (~1 ms), not
   # execution (~100 ms). Per-iter block costs one host round-trip, which
   # is noise at this step size.
+  # VARY the input every iteration: the axon proxy memoizes identical
+  # (executable, args) calls — a repeated-args loop measured 0.63 ms/step
+  # for a 120M-param model (>750 TF/s, past chip peak); perturbing one
+  # operand restores the honest 25 ms.
   t0 = time.time()
-  for _ in range(args.iters):
-    jax.block_until_ready(fwd(params, rgb, lid, tp, cmd, spd))
+  for i in range(args.iters):
+    jax.block_until_ready(fwd(params, rgb + i * 1e-6, lid, tp, cmd, spd))
   dt = (time.time() - t0) / args.iters
 
   print(json.dumps({
