@@ -96,6 +96,11 @@ def build_dataset(args, seed: int, collect=None, town_name: str = "synth",
   st, parts = state, []
   for _ in range(args.frames // chunk):
     st, fr = collect(maps, lanes, scene, st)
+    # synchronous chunking: the axon dispatch stream wedges when the
+    # async stream runs ahead (same failure the train loop already
+    # guards against; observed again on the r5 36-dataset run — 20 min
+    # blocked at ~0% CPU right after the collect compile cached)
+    jax.block_until_ready(st.time_s)
     parts.append(fr)
   final = st
   frames = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *parts)
@@ -159,6 +164,7 @@ def build_dagger_dataset(args, tcfg, model, params, cam_grid, lid_f, lid_r,
   parts = []
   for _ in range(max(args.dagger_frames // chunk, 1)):
     st, fr = collect(maps, lanes, scene, st, params)
+    jax.block_until_ready(st.time_s)   # axon wedge guard (see build_dataset)
     parts.append(fr)
   frames = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *parts)
   usable = np.nonzero(np.asarray(frames.alive).any(-1))[0]
