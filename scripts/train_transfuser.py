@@ -25,10 +25,18 @@ _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import argparse
 import dataclasses
+import faulthandler
 import json
 import os
+import signal
 import sys
 import time
+
+# `kill -USR1 <pid>` dumps all thread stacks to stderr: the axon backend
+# wedges nondeterministically on the first device ops after a prior client
+# was killed (zero CPU, zero socket traffic) — this makes the wedge point
+# observable without py-spy/gdb (neither is in the image).
+faulthandler.register(signal.SIGUSR1)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -80,6 +88,7 @@ def build_dataset(args, seed: int, collect=None, town_name: str = "synth",
   program serves all of them."""
   rng = np.random.default_rng(seed)
   n_veh = int(rng.integers(args.min_vehicles, args.max_vehicles + 1))
+  print(f"  building {town_name} scene (seed {seed})...", flush=True)
   town, maps, lanes, scene, state = make_town_batch(
       CFG, town_name, batch=args.episodes, seed=seed, n_vehicles=n_veh,
       n_walkers=2, pad_hw=pad_hw, crop_hw=crop_hw, crop_margin_m=args.crop_margin_m,
@@ -417,8 +426,29 @@ def main():
   t0 = time.time()
   datasets = []
   collect = None
+  # datagen shards cache to disk so a supervisor restart after an axon
+  # transport wedge (device->host transfer hangs forever at ~0% CPU; hit
+  # 3 of 4 launches on 2026-08-20, stack: build_dataset's quality-gate
+  # np.asarray) resumes instead of regenerating ~16 min of rollouts.
+  # Shards are keyed by the datagen-defining args so a stale cache can't
+  # silently feed a resized run.
+  import pickle
+  cache_key = (f"{args.episodes}x{args.frames}_v{args.min_vehicles}-"
+               f"{args.max_vehicles}_r{args.min_route_m:.0f}-"
+               f"{args.max_route_m:.0f}_c{args.crop_px}"
+               f"{'_nosc' if args.no_scenarios else ''}")
+  cache_dir = os.path.join(f"{args.out}_shards", cache_key)
+  os.makedirs(cache_dir, exist_ok=True)
   for d in range(args.datasets):
     town_name = args.towns[d % len(args.towns)]
+    shard_path = os.path.join(cache_dir, f"shard_{d:03d}_{town_name}.pkl")
+    if os.path.exists(shard_path):
+      with open(shard_path, "rb") as f:
+        ds = pickle.load(f)
+      datasets.append(ds)
+      print(f"dataset {d} [{town_name}]: loaded from cache "
+            f"({len(ds['usable'])} usable frames)", flush=True)
+      continue
     ds = build_dataset(args, seed=1000 * d + 17, collect=collect,
                        town_name=town_name, pad_hw=pad_hw, crop_hw=crop_hw)
     collect = ds["collect"]
@@ -426,7 +456,14 @@ def main():
       print(f"dataset {d} [{town_name}]: EMPTY (no usable frames) — "
             f"skipped", flush=True)
       continue
-    datasets.append(dataset_to_host(ds))
+    host = dataset_to_host(ds)
+    host.pop("collect", None)           # jitted fn: not picklable
+    host = jax.tree.map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, host)
+    with open(shard_path + ".tmp", "wb") as f:
+      pickle.dump(host, f, protocol=4)
+    os.replace(shard_path + ".tmp", shard_path)   # atomic: no torn shards
+    datasets.append(host)
     ds = datasets[-1]
     print(f"dataset {d} [{town_name}]: {args.episodes}x{args.frames} "
           f"frames, {ds['n_clean']}/{args.episodes} clean episodes, "
@@ -488,9 +525,27 @@ def main():
   history, evals = [], []
   best = {"DS": -1.0}
   best_params = params
+  start_step = 0
+  # full train-state resume (params + opt state + sampler RNG + step):
+  # the supervisor restarts this script after an axon wedge; without it a
+  # mid-train hang would cost hours of optimizer steps
+  trainstate_path = f"{args.out}_trainstate.pkl"
+  if os.path.exists(trainstate_path):
+    import pickle
+    with open(trainstate_path, "rb") as f:
+      ts = pickle.load(f)
+    params = jax.device_put(ts["params"])
+    opt_state = jax.device_put(ts["opt_state"])
+    np_rng = ts["np_rng"]
+    history, evals, best = ts["history"], ts["evals"], ts["best"]
+    best_params = ts["best_params"]
+    start_step = ts["step"]
+    rng = jax.random.fold_in(jax.random.key(0), start_step)
+    print(f"resumed train state at step {start_step} "
+          f"(best DS {best.get('DS', -1):.1f})", flush=True)
   t0 = time.time()
   cur_d, dev = -1, None
-  for i in range(args.steps):
+  for i in range(start_step, args.steps):
     di = (i // args.block_steps) % len(datasets)
     if di != cur_d:
       dev = dataset_to_device(datasets[di])
@@ -514,6 +569,17 @@ def main():
       print(f"step {i}: loss {h['loss']:.3f} "
             f"({h['wall_s']:.0f}s)", flush=True)
     if args.eval_every and (i + 1) % args.eval_every == 0:
+      # save BEFORE the eval too: a wedge inside the eval rollouts must
+      # not cost the preceding --eval-every optimizer steps on restart
+      import pickle
+      params_host = jax.tree.map(np.asarray, params)
+      with open(trainstate_path + ".tmp", "wb") as f:
+        pickle.dump({"step": i + 1, "params": params_host,
+                     "opt_state": jax.tree.map(np.asarray, opt_state),
+                     "np_rng": np_rng, "history": history, "evals": evals,
+                     "best": best, "best_params": best_params}, f,
+                    protocol=4)
+      os.replace(trainstate_path + ".tmp", trainstate_path)
       ev = eval_suite(args, tcfg, model, params, cam_grid, lid_front,
                       lid_rear, args.eval_towns, [321, 654], args.eval_routes,
                       pad_hw=pad_hw, crop_hw=crop_hw,
@@ -532,6 +598,14 @@ def main():
       if ev["DS"] >= best["DS"]:
         best = ev
         best_params = params_host
+      import pickle
+      with open(trainstate_path + ".tmp", "wb") as f:
+        pickle.dump({"step": i + 1, "params": params_host,
+                     "opt_state": jax.tree.map(np.asarray, opt_state),
+                     "np_rng": np_rng, "history": history, "evals": evals,
+                     "best": best, "best_params": best_params}, f,
+                    protocol=4)
+      os.replace(trainstate_path + ".tmp", trainstate_path)
 
   dev = None          # release the last block's resident dataset
   # ---- DAgger fine-tune rounds: collect on-policy mistakes, train on
