@@ -113,13 +113,33 @@ def build_dataset(args, seed: int, collect=None, town_name: str = "synth",
     parts.append(fr)
   final = st
   frames = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *parts)
-  # quality gate (data.py:91-95): no infractions, not blocked
-  cr = final.criteria
-  clean = (np.asarray(cr.n_collision_vehicle) == 0) & \
-          (np.asarray(cr.n_collision_walker) == 0) & \
-          (np.asarray(cr.n_collision_static) == 0) & \
-          (np.asarray(cr.n_red_light) == 0) & \
-          (~np.asarray(cr.blocked))
+  # quality gate (data.py:91-95): no infractions, not blocked.
+  # The FIRST device->host pull of a fresh client session sometimes takes
+  # 10-25 minutes over the axon transport (4 of 5 launches on 2026-08-20;
+  # SIGUSR1 stacks show it parked in jax Array._value at ~0% CPU, after
+  # which the session runs at full speed for its lifetime). Do not
+  # restart into it — a restart just rolls the dice again. Announce the
+  # slow path and only give up after 30 min (a genuinely dead transport).
+  from carla_garage_tpu.utils.watchdog import Watchdog
+  t_pull = time.time()
+  wd = Watchdog(1800.0)
+  wd.start()
+  try:
+    cr = final.criteria
+    clean = (np.asarray(cr.n_collision_vehicle) == 0) & \
+            (np.asarray(cr.n_collision_walker) == 0) & \
+            (np.asarray(cr.n_collision_static) == 0) & \
+            (np.asarray(cr.n_red_light) == 0) & \
+            (~np.asarray(cr.blocked))
+  except KeyboardInterrupt:
+    print("WEDGE: quality-gate device->host pull hung >30min; exiting "
+          "for supervisor restart", flush=True)
+    os._exit(3)
+  finally:
+    wd.stop()
+  if time.time() - t_pull > 120:
+    print(f"  slow-transport first pull: {time.time()-t_pull:.0f}s "
+          f"(known axon cold-session behavior)", flush=True)
   frames = frames.replace(alive=frames.alive & jnp.asarray(clean)[None, :])
   _, wp_valid = waypoint_labels(frames)
   usable = np.nonzero(np.asarray(wp_valid).any(-1))[0]
