@@ -37,6 +37,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+# honor JAX_PLATFORMS=cpu even under the axon sitecustomize (which
+# registers the TPU backend at interpreter start — env vars alone are too
+# late, tests/conftest.py pattern). Lets the A/B run on the host CPU while
+# the chip trains TransFuser.
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+  jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from carla_garage_tpu.agents.plant_agent import (make_plant_policy,
